@@ -1,0 +1,284 @@
+"""apply_changes — exactly-once MERGE of a change-event batch into a
+SnapshotTable (SURVEY.md §2.2 K1–K6, §2.6 J3).
+
+Replaces the reference's per-event AQL UPSERT round-trips
+(/root/reference/src/handler/arangodb.rs:211-343 — 2+2W HTTP queries per
+poc event) with one set-oriented MERGE per micro-batch: the batch is
+deduped to one winning event per key first (SURVEY.md §4.2's "biggest
+architectural delta" — O(distinct keys) sink work, not O(events)).
+
+Two strategies behind one call:
+
+- ``strategy="cow"`` (copy-on-write, Iceberg CoW MERGE INTO analogue):
+  prune to touched buckets → full-outer join target×source on doc_id →
+  winner per row by the same LWW order → rewrite touched buckets.
+  Read-optimized; write cost ∝ size of touched buckets.
+
+- ``strategy="mor"`` (merge-on-read, Iceberg MoR analogue — DEFAULT for
+  sustained ingest): append the deduped batch as per-bucket delta files;
+  no target read at all. Write cost ∝ O(batch). Readers LWW-reduce;
+  ``compact()`` (auto every ``compact_every`` commits) folds deltas back
+  to one row per key.
+
+Cross-batch out-of-order correctness: stored rows keep their winning
+event's (seq_no, event_ts, batch_id, op) in META_COLS, and deletes are
+stored as tombstones — so a late lower-seq_no event loses to an
+already-applied higher one, and a late insert cannot resurrect a
+higher-seq_no delete (reference hazards §4.3.1/§4.3.3).
+
+Idempotence (exactly-once fence): ``fence_stream_id`` + ``batch_id``
+record `fence.<stream>` in the same snapshot as the data; re-applying a
+batch with batch_id <= the fenced value is a no-op
+(reference analogue: `files.done` ledger flag,
+/root/reference/src/document/iot_poc_file.rs:11, made atomic per
+SURVEY.md §4.3.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arango_etl_spark.operators import dedup_window
+from arango_etl_spark.plans.lakehouse import (
+    META_NAMES,
+    SnapshotTable,
+)
+
+CDC_META = ["op", "seq_no", "batch_id", "event_ts"]
+
+DEDUP_STRATEGIES = {
+    "max_by": dedup_window.dedup_events,
+    "window": dedup_window.dedup_events_window,
+    "salted_window": dedup_window.dedup_events_salted_window,
+    "applyinpandas": dedup_window.dedup_events_pandas,
+}
+
+
+@dataclass
+class MergeResult:
+    version: int
+    skipped: bool = False
+    events_seen: int | None = None
+    keys_applied: int | None = None
+    max_seq_no: int | None = None
+    new_columns: list[str] = field(default_factory=list)
+
+
+def _payload_cols(events: DataFrame, key_col: str) -> list[str]:
+    return [c for c in events.columns if c not in CDC_META and c != key_col]
+
+
+def _as_stored(deduped: DataFrame, key_col: str, payload: list[str]) -> DataFrame:
+    """Winning events → stored-row layout (payload + META_COLS)."""
+    return deduped.select(
+        key_col,
+        *payload,
+        F.col("seq_no").alias("_seq_no"),
+        F.col("event_ts").alias("_event_ts"),
+        F.col("batch_id").alias("_batch_id"),
+        F.col("op").alias("_op"),
+        (F.col("op") == "delete").alias("_deleted"),
+    )
+
+
+def _evolve_schema(
+    table: SnapshotTable, events: DataFrame, key_col: str
+) -> tuple[T.StructType | None, list[str]]:
+    """Additive schema evolution: payload columns present in the batch but
+    not in the table schema are appended (nullable). Non-additive changes
+    (type change, drop) are rejected — additive-only per the north rule."""
+    current = table.payload_schema()
+    names = set(current.fieldNames())
+    new_fields = []
+    for f_ in events.schema.fields:
+        if f_.name in CDC_META or f_.name == key_col:
+            continue
+        if f_.name in names:
+            cur = current[f_.name].dataType
+            if cur != f_.dataType:
+                raise ValueError(
+                    f"non-additive schema change for {f_.name}: {cur} -> {f_.dataType}"
+                )
+        else:
+            new_fields.append(T.StructField(f_.name, f_.dataType, True))
+    if not new_fields:
+        return None, []
+    evolved = T.StructType(current.fields + new_fields)
+    return evolved, [f_.name for f_ in new_fields]
+
+
+def apply_changes(
+    spark: SparkSession,
+    table: SnapshotTable,
+    events: DataFrame,
+    batch_id: int | None = None,
+    fence_stream_id: str | None = None,
+    strategy: str = "mor",
+    dedup: str = "max_by",
+    compact_every: int = 8,
+    collect_metrics: bool = True,
+    extra_summary: dict | None = None,
+) -> MergeResult:
+    manifest = table.manifest()
+    key_col = manifest["key_col"]
+
+    # ---- fence check (O(1): one manifest read, no data touched —
+    # replaces the reference's done-files anti-join scan, SURVEY.md F1)
+    if fence_stream_id is not None and batch_id is not None:
+        last = table.last_batch_id(fence_stream_id)
+        if last is not None and batch_id <= last:
+            return MergeResult(version=manifest["version"], skipped=True)
+
+    evolved_schema, new_cols = _evolve_schema(table, events, key_col)
+    payload_schema = evolved_schema or table.payload_schema()
+    payload = [f_.name for f_ in payload_schema.fields if f_.name != key_col]
+
+    # align batch to the (possibly widened) payload: older producers may
+    # lack newly-evolved columns
+    for f_ in payload_schema.fields:
+        if f_.name not in events.columns:
+            events = events.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+
+    deduped = DEDUP_STRATEGIES[dedup](events, key_col=key_col)
+
+    obs = None
+    if collect_metrics:
+        obs = Observation(f"merge-{manifest['version'] + 1}")
+        deduped = deduped.observe(
+            obs,
+            F.count(F.lit(1)).alias("keys_applied"),
+            F.max("seq_no").alias("max_seq_no"),
+        )
+
+    src = _as_stored(deduped, key_col, payload).withColumn(
+        "_bucket", table.bucket_expr(F.col(key_col), manifest)
+    )
+
+    if strategy == "mor":
+        new_files, replaced = _merge_mor(table, src)
+    elif strategy == "cow":
+        new_files, replaced = _merge_cow(spark, table, manifest, src, key_col, payload)
+    else:
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+
+    summary: dict = dict(extra_summary or {})
+    if fence_stream_id is not None and batch_id is not None:
+        summary[f"fence.{fence_stream_id}"] = int(batch_id)
+    metrics: dict[str, float] = {}
+    if obs is not None:
+        metrics = obs.get
+        summary["lineage.keys_applied"] = int(metrics.get("keys_applied") or 0)
+        if metrics.get("max_seq_no") is not None:
+            summary["lineage.max_seq_no"] = int(metrics["max_seq_no"])
+
+    new_manifest = table.commit(
+        new_files=new_files,
+        replaced_buckets=replaced,
+        summary=summary,
+        new_payload_schema=evolved_schema,
+        mode="append" if strategy == "mor" else "merge",
+        expected_version=manifest["version"],
+    )
+
+    if (
+        strategy == "mor"
+        and compact_every
+        and new_manifest["version"] % compact_every == 0
+    ):
+        new_manifest = compact(spark, table)
+
+    return MergeResult(
+        version=new_manifest["version"],
+        keys_applied=int(metrics.get("keys_applied") or 0) if metrics else None,
+        max_seq_no=(
+            int(metrics["max_seq_no"])
+            if metrics and metrics.get("max_seq_no") is not None
+            else None
+        ),
+        new_columns=new_cols,
+    )
+
+
+def _merge_mor(
+    table: SnapshotTable, src: DataFrame
+) -> tuple[dict[str, list[str]], set[int]]:
+    """Append the deduped batch as per-bucket delta files — no target read,
+    no target-side shuffle; commit cost is O(batch). The LWW reduce is
+    deferred to readers / compaction (Iceberg MoR shape)."""
+    _, files = table.stage_write(src)
+    return files, set()  # append: every existing file carries over
+
+
+def _merge_cow(
+    spark: SparkSession,
+    table: SnapshotTable,
+    manifest: dict,
+    src: DataFrame,
+    key_col: str,
+    payload: list[str],
+) -> tuple[dict[str, list[str]], set[int]]:
+    """Copy-on-write MERGE: bucket-pruned full-outer join, LWW winner per
+    row, rewrite only touched buckets (Iceberg CoW MERGE INTO analogue,
+    SURVEY.md J3 / /root/reference/src/handler/arangodb.rs:220,235,302).
+    """
+    # touched buckets: bounded metadata (≤ n_buckets ints), not data
+    touched = sorted(
+        r["_bucket"] for r in src.select("_bucket").distinct().collect()
+    )
+    target = table.read_stored(spark, buckets=touched, manifest=manifest)
+
+    stored_cols = [c for c in src.columns if c != "_bucket"]
+    lww = lambda side: F.struct(  # noqa: E731
+        F.col(f"{side}._seq_no"),
+        F.col(f"{side}._event_ts"),
+        F.col(f"{side}._batch_id"),
+        F.col(f"{side}._op"),
+    )
+    t, s = target.alias("t"), src.drop("_bucket").alias("s")
+    src_wins = F.col("t._seq_no").isNull() | (lww("s") > lww("t"))
+    merged = (
+        t.join(s, on=key_col, how="full_outer")
+        .select(
+            key_col,
+            *[
+                F.when(
+                    F.col("s._op").isNotNull() & src_wins, F.col(f"s.{c}")
+                ).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in stored_cols
+                if c != key_col
+            ],
+        )
+        .withColumn("_bucket", table.bucket_expr(F.col(key_col), manifest))
+    )
+    _, files = table.stage_write(merged)
+    # stage_write only materializes buckets that got rows; a touched bucket
+    # whose every row was tombstone-free-deleted… never happens (tombstones
+    # are kept), but an empty-result bucket must still be marked replaced.
+    return files, set(touched)
+
+
+def compact(spark: SparkSession, table: SnapshotTable) -> dict:
+    """Fold all delta files back to one stored row per key (full table) and
+    drop nothing — tombstones are retained so late events keep losing.
+    At cluster scale this is Iceberg's rewrite_data_files maintenance job;
+    run it off the ingest hot path."""
+    manifest = table.manifest()
+    from arango_etl_spark.plans.lakehouse import lww_resolve
+
+    stored = table.read_stored(spark, manifest=manifest)
+    resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
+        "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)
+    )
+    _, files = table.stage_write(resolved)
+    return table.commit(
+        new_files=files,
+        replaced_buckets=None,
+        summary={"compaction": True},
+        mode="compact",
+        one_row_per_key=True,
+        expected_version=manifest["version"],
+    )

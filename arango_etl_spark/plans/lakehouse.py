@@ -1,0 +1,298 @@
+"""SnapshotTable — an Iceberg-style transactional table on plain parquet.
+
+Implements the contract the north rule assigns to Iceberg (no
+iceberg-spark-runtime jar ships in this image, SURVEY.md §7.0):
+
+- **snapshot isolation**: every commit writes an immutable manifest
+  (`meta/v{N}.json`) listing the exact data files per hash-bucket; readers
+  resolve the `meta/_current` pointer (atomically swapped via
+  `os.replace`) so they always see a complete snapshot.
+- **atomic batch-id fence**: the manifest carries a `summary` dict;
+  streaming commits record `fence.<stream_id> = batch_id` *in the same
+  manifest as the data file list*, so data+fence are one atomic unit.
+  This is strictly stronger than the reference, whose ledger `done` flag
+  is a separate non-atomic write after the data writes
+  (/root/reference/src/handler/arangodb_handler.rs:213-232 — the
+  double-count hazard of SURVEY.md §4.3.1).
+- **hash-bucket layout**: data files live under `data/.../b=<bucket>/`,
+  bucket = pmod(xxhash64(doc_id), n_buckets). MERGE prunes to touched
+  buckets; at cluster scale this is Iceberg's `bucket(N, doc_id)`
+  partition transform and enables storage-partitioned joins.
+- **additive schema evolution**: the manifest stores the table schema;
+  commits may widen it with new nullable columns; old files are read with
+  the widened schema (missing columns → null backfill) — the Spark-native
+  restatement of ArangoDB's additive document merge
+  (/root/reference/src/handler/arangodb.rs:221-226).
+- **two write strategies** share one snapshot protocol:
+  copy-on-write (rewrite touched buckets — Iceberg CoW MERGE) and
+  merge-on-read (append per-bucket delta files, LWW-reduce at read,
+  periodic compaction — Iceberg MoR; the sustained-ingest scale path:
+  commit cost is O(batch), not O(table)).
+
+Multi-writer note: `meta/v{N}.json` is created with O_EXCL, so two racing
+committers conflict-detect exactly like an Iceberg catalog CAS; the loser
+retries against the new current snapshot. The engine's streaming runner is
+single-writer per table (as Structured Streaming guarantees per query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# internal CDC-state columns kept on every stored row. A stored row is
+# simply "the last winning event" — so cross-batch LWW and tombstones fall
+# out of comparing the same (seq_no, event_ts, batch_id, op) order used for
+# in-batch dedup (SURVEY.md §2.6). Tombstones (_deleted=true) keep late
+# lower-seq_no inserts from resurrecting deleted docs.
+META_COLS: list[tuple[str, str]] = [
+    ("_seq_no", "long"),
+    ("_event_ts", "timestamp"),
+    ("_batch_id", "long"),
+    ("_op", "string"),
+    ("_deleted", "boolean"),
+]
+META_NAMES = [c for c, _ in META_COLS]
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version (catalog CAS failure)."""
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        payload_schema: T.StructType,
+        key_col: str = "doc_id",
+        n_buckets: int = 64,
+    ) -> "SnapshotTable":
+        """Create an empty table. payload_schema excludes META_COLS."""
+        t = cls(root)
+        os.makedirs(t.meta_dir, exist_ok=False)
+        os.makedirs(t.data_dir, exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schema": json.loads(payload_schema.json()),
+            "files": {},          # bucket(str) -> [relative file paths]
+            "summary": {},
+            "mode": "init",
+        }
+        t._write_manifest(manifest)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "meta", "_current"))
+
+    # ------------------------------------------------------------ readers
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "_current")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def payload_schema(self, manifest: dict | None = None) -> T.StructType:
+        m = manifest or self.manifest()
+        return T.StructType.fromJson(m["schema"])
+
+    def stored_schema(self, manifest: dict | None = None) -> T.StructType:
+        s = self.payload_schema(manifest)
+        for name, dt in META_COLS:
+            s = s.add(name, dt, True)
+        return s
+
+    def bucket_expr(self, col: Column, manifest: dict | None = None) -> Column:
+        m = manifest or self.manifest()
+        return F.pmod(F.xxhash64(col), F.lit(m["n_buckets"])).cast("int")
+
+    def data_files(
+        self, manifest: dict | None = None, buckets: list[int] | None = None
+    ) -> list[str]:
+        m = manifest or self.manifest()
+        out: list[str] = []
+        keys = (
+            [str(b) for b in buckets] if buckets is not None else list(m["files"])
+        )
+        for b in keys:
+            out.extend(os.path.join(self.root, p) for p in m["files"].get(b, []))
+        return out
+
+    def read_stored(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        manifest: dict | None = None,
+    ) -> DataFrame:
+        """Raw stored rows (winning events incl. tombstones + meta cols).
+
+        Reads with the *current* widened schema so files written before an
+        additive schema evolution get null-backfilled new columns.
+        """
+        m = manifest or self.manifest()
+        schema = self.stored_schema(m)
+        files = self.data_files(m, buckets)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    def read(self, spark: SparkSession, manifest: dict | None = None) -> DataFrame:
+        """Public table state: LWW-resolved, tombstones dropped, meta hidden.
+
+        Under CoW-only history the stored rows are already one-per-key and
+        the reduce is a no-op pass; under MoR (delta files present) this is
+        the merge-on-read. The reduce is a partial-aggregating groupBy
+        (map-side combine), not a window — no per-key shuffle skew blowup.
+        """
+        m = manifest or self.manifest()
+        stored = self.read_stored(spark, manifest=m)
+        if m.get("one_row_per_key", False):
+            resolved = stored
+        else:
+            resolved = lww_resolve(stored, m["key_col"])
+        return resolved.where(~F.col("_deleted")).drop(*META_NAMES)
+
+    # ------------------------------------------------------------ writers
+    def stage_write(
+        self,
+        df: DataFrame,
+        bucket_col: str = "_bucket",
+        sort_within: bool = True,
+    ) -> tuple[str, dict[str, list[str]]]:
+        """Write df (with bucket_col) as one parquet dir partitioned by
+        bucket; return (commit_dir_rel, files-by-bucket).
+
+        Rows are hash-distributed by bucket and sorted by key within files
+        so parquet row-group min/max stats support key-range skipping at
+        scale (the engine's analogue of the reference's persistent sink
+        indexes, /root/reference/src/handler/arangodb.rs:405-524).
+        """
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join("data", f"commit-{commit_id}")
+        out = os.path.join(self.root, rel)
+        writer = df.repartition(F.col(bucket_col))
+        if sort_within:
+            writer = writer.sortWithinPartitions(bucket_col, self.manifest()["key_col"])
+        writer.write.partitionBy(bucket_col).mode("error").parquet(out)
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out):
+            if not entry.startswith(f"{bucket_col}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out, entry)
+            files[b] = [
+                os.path.join(rel, entry, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+        return rel, files
+
+    def commit(
+        self,
+        new_files: dict[str, list[str]],
+        replaced_buckets: set[int] | None,
+        summary: dict | None = None,
+        new_payload_schema: T.StructType | None = None,
+        mode: str = "merge",
+        one_row_per_key: bool | None = None,
+        expected_version: int | None = None,
+    ) -> dict:
+        """Commit a new snapshot.
+
+        replaced_buckets=None → full replace (compaction);
+        otherwise buckets in the set take new_files, the rest carry over
+        (CoW) — and for MoR appends, replaced_buckets=set() carries all
+        old files over and appends the new ones.
+        """
+        cur_v = self.current_version()
+        if expected_version is not None and cur_v != expected_version:
+            raise CommitConflict(f"expected v{expected_version}, found v{cur_v}")
+        parent = self.manifest(cur_v)
+        files: dict[str, list[str]] = {}
+        if replaced_buckets is not None:
+            for b, fs in parent["files"].items():
+                if int(b) not in replaced_buckets:
+                    files[b] = list(fs)
+        for b, fs in new_files.items():
+            files.setdefault(b, [])
+            files[b].extend(fs)
+        was_flat = parent.get("one_row_per_key", parent["version"] == 0)
+        manifest = {
+            "version": cur_v + 1,
+            "parent": cur_v,
+            "key_col": parent["key_col"],
+            "n_buckets": parent["n_buckets"],
+            "schema": (
+                json.loads(new_payload_schema.json())
+                if new_payload_schema is not None
+                else parent["schema"]
+            ),
+            "files": files,
+            "summary": {**parent["summary"], **(summary or {})},
+            "mode": mode,
+            "one_row_per_key": (
+                one_row_per_key
+                if one_row_per_key is not None
+                else (was_flat and mode != "append")
+            ),
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        path = os.path.join(self.meta_dir, f"v{v}.json")
+        # O_EXCL create = the catalog CAS: a racing committer of the same
+        # version fails here and must retry against the new snapshot
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f, indent=1)
+        except Exception:
+            os.unlink(path)
+            raise
+        tmp = os.path.join(self.meta_dir, f"_current.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+
+    # ------------------------------------------------------------- fence
+    def last_batch_id(self, stream_id: str) -> int | None:
+        v = self.manifest()["summary"].get(f"fence.{stream_id}")
+        return None if v is None else int(v)
+
+
+def lww_resolve(stored: DataFrame, key_col: str) -> DataFrame:
+    """Reduce stored rows to one winning row per key under the canonical
+    LWW order (seq_no, event_ts, batch_id, op) — max wins.
+
+    Implemented as max_by over a comparison struct: a hash aggregation
+    with map-side partial combine, so a hot key reduces locally on every
+    input partition before one tiny shuffled row per partition — the
+    skew-safe alternative to a row_number window (north rule).
+    """
+    order = F.struct(
+        F.col("_seq_no"), F.col("_event_ts"), F.col("_batch_id"), F.col("_op")
+    )
+    payload = [c for c in stored.columns if c != key_col]
+    return stored.groupBy(key_col).agg(
+        F.max_by(F.struct(*payload), order).alias("_w")
+    ).select(key_col, "_w.*")

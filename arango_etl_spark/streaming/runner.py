@@ -1,0 +1,128 @@
+"""Exactly-once streaming CDC ingest: readStream → foreachBatch →
+fence-checked MERGE → atomic snapshot commit (SURVEY.md §3.3).
+
+Maps the reference's `current` mode (tokio tick loop advancing a timestamp
+cursor, /root/reference/src/tracker.rs:24-44 +
+/root/reference/src/handler/arangodb_handler.rs:92-111) onto Structured
+Streaming:
+
+- source offsets/cursor     → the streaming checkpoint (ST2)
+- per-file ledger + done    → batch-id fence in the snapshot summary (ST4)
+- retry counter cap         → Spark task/stage retries + idempotent
+                              re-application under the fence (ST5)
+- Redis XADD progress       → LineageLog + StreamingQuery metrics (ST8)
+
+MERGE INTO is not a legal streaming sink; foreachBatch is the idiomatic
+bridge (SURVEY.md §7.3). Each micro-batch applies `apply_changes` with the
+Spark-assigned epoch id as the fence batch_id — on restart, Structured
+Streaming replays the last uncommitted epoch with the SAME id, so the
+fence makes re-delivery a no-op: exactly-once end-to-end.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arango_etl_spark.operators.merge_into import apply_changes
+from arango_etl_spark.plans.lakehouse import SnapshotTable
+from arango_etl_spark.streaming.lineage import LineageLog
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("seq_no", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+
+@dataclass
+class IngestConfig:
+    stream_id: str = "cdc"
+    strategy: str = "mor"
+    dedup: str = "max_by"
+    compact_every: int = 8
+    max_files_per_trigger: int = 4
+    fail_batches: frozenset[int] = frozenset()  # fault injection for tests
+
+
+def run_ingest(
+    spark: SparkSession,
+    events_dir: str,
+    table: SnapshotTable,
+    checkpoint_dir: str,
+    lineage: LineageLog | None = None,
+    cfg: IngestConfig | None = None,
+    event_schema: T.StructType | None = None,
+    available_now: bool = True,
+) -> None:
+    """Tail `events_dir` (parquet file feed) and MERGE every micro-batch.
+
+    With ``available_now=True`` this drains the backlog then stops —
+    the `history`/`rehydrate` replay modes (SURVEY.md §3.1/§3.2). A
+    processing-time trigger turns the same code into the continuous
+    `current` mode.
+    """
+    cfg = cfg or IngestConfig()
+    schema = event_schema or EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        # additive evolution: later files may carry extra columns
+        .option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.monotonic()
+        if epoch_id in cfg.fail_batches:
+            raise RuntimeError(f"injected failure at epoch {epoch_id}")
+        if batch_df.isEmpty():  # early-exit on empty (SURVEY.md F9)
+            return
+        res = apply_changes(
+            spark,
+            table,
+            batch_df,
+            batch_id=epoch_id,
+            fence_stream_id=cfg.stream_id,
+            strategy=cfg.strategy,
+            dedup=cfg.dedup,
+            compact_every=cfg.compact_every,
+        )
+        if lineage is not None and not res.skipped:
+            lineage.record_batch(
+                batch_df,
+                batch_id=epoch_id,
+                keys_applied=res.keys_applied,
+                max_seq_no=res.max_seq_no,
+                wall_secs=time.monotonic() - t0,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime="10 seconds").start()
+        return q  # caller manages lifecycle
+
+
+def read_final_state(spark: SparkSession, table: SnapshotTable) -> DataFrame:
+    """Public final table state (LWW-resolved, tombstones dropped)."""
+    return table.read(spark)
