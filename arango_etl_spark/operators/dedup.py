@@ -1,0 +1,194 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash groupBy (see parity.exact_dedup_docs). This module
+adds the near-duplicate family — all pure DataFrame plans over built-in
+functions (xxhash64, explode, groupBy): no Python UDFs in any hot path.
+
+Scale notes (100 TB):
+- MinHash+LSH: cost is O(docs × n_hashes) map-side + one shuffle on
+  (band, band_hash). Candidate verification joins doc pairs only within
+  buckets — never the full cross product.
+- SimHash: one pass, map-only until the final (optional) bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Word n-gram shingles per document (lowercased, whitespace-split)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    # n-gram i → concat of words[i..i+n)  (array slice + array_join)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    ).where(F.col("shingle") != "")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[k] = min over shingles of
+    xxhash64(shingle, seed=k). Vectorized via explode + groupBy(min)."""
+    sh = shingles(docs, text_col, ngram, id_col)
+    hashed = sh.select(
+        id_col,
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(k)).alias(f"h{k}")
+            for k in range(n_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(n_hashes)]
+    )
+    return sig.select(
+        id_col, F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, self-join
+    docs sharing any (band, band_hash) bucket. Returns (doc_a, doc_b,
+    n_shared_bands) with doc_a < doc_b."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, ngram)
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"), b * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: sum word-hash bit votes, sign → bit.
+
+    Pure columnar: explode words → 64 bit-vote columns via shift/and →
+    groupBy sum → reassemble bits. No UDF.
+    """
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    h = F.xxhash64("word")
+    votes = words.select(
+        id_col,
+        *[
+            (
+                F.when(F.expr(f"(xxhash64(word) >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    _ = h
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]
+    )
+    # reassemble: sum of 2^i for positive-vote bits (use double → no int64
+    # overflow issue for bit 63: keep bits 0..62 and sign separately)
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        for i in range(63)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return summed.select(
+        F.col(id_col),
+        acc.alias("simhash63"),
+        (F.col("b63") > 0).alias("sign_bit"),
+    )
+
+
+def jaccard_ngram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share at
+    least one shingle (inverted-index join — never a full cross product).
+
+    |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = shingles(docs, text_col, ngram, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -158,10 +158,22 @@ def apply_changes(
         "_bucket", table.bucket_expr(F.col(key_col), manifest)
     )
 
+    # CoW must read existing files with the widened schema so evolved
+    # columns resolve on the target side (null-backfilled for old files)
+    import json as _json
+
+    read_manifest = (
+        {**manifest, "schema": _json.loads(payload_schema.json())}
+        if evolved_schema is not None
+        else manifest
+    )
+
     if strategy == "mor":
         new_files, replaced = _merge_mor(table, src)
     elif strategy == "cow":
-        new_files, replaced = _merge_cow(spark, table, manifest, src, key_col, payload)
+        new_files, replaced = _merge_cow(
+            spark, table, read_manifest, src, key_col, payload
+        )
     else:
         raise ValueError(f"unknown merge strategy {strategy!r}")
 

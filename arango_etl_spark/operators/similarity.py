@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk``        — exact brute force (baseline; one broadcast of the
+  query vectors, map-side dot products, global top-k).
+- ``lsh_cosine_topk``    — random-hyperplane LSH bucketing: candidates only
+  within matching buckets, then exact re-rank. The 100 TB path: the
+  bucket join replaces the full scan per query.
+
+Dot products use zip_with + aggregate (JVM-side, codegen) — no Python.
+Hyperplanes are derived deterministically from xxhash64 so runs are
+replayable without RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    ``query`` has (query_id, embedding). Small query set → broadcast; the
+    big side streams map-only until the per-query top-k (window on rank).
+    """
+    q = query.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    sims = embeddings.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def hyperplane_signs(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 7
+) -> Column:
+    """Deterministic random-hyperplane signature: plane p, component j has
+    pseudo-weight in {-1,+1} from xxhash64(p, j, seed); sign of the dot
+    product gives bit p. Returns array<int> of 0/1 bits."""
+    def plane_bit(p: Column) -> Column:
+        # sum_j vec[j] * w(p, j); w = ±1 from hash parity
+        prods = F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(
+                    F.pmod(F.xxhash64(p, j, F.lit(seed)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, w: x.cast("double") * w,
+        )
+        s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)), lambda p: plane_bit(p)
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: L hash
+    tables of p planes each; a vector is a candidate if it collides with
+    the query in ANY table (standard OR-amplification — recall ≈
+    1-(1-s^p)^L for cosine-sign agreement s). Candidates are deduped then
+    exactly re-ranked. Tune (p, L) for the recall/cost point; the bucket
+    join replaces the full scan at 100 TB scale."""
+
+    # Compute the full (n_planes*n_tables)-bit signature once per vector,
+    # then slice per table — avoids recomputing dot products per table.
+    def with_buckets(df: DataFrame, vc: str) -> DataFrame:
+        all_bits = hyperplane_signs(F.col(vc), dim, n_planes * n_tables)
+        bucketed = df.withColumn("_bits", all_bits).select(
+            "*",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("tbl"),
+                        F.xxhash64(
+                            t, F.slice(F.col("_bits"), t * n_planes + 1, n_planes)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("_tb"),
+        )
+        return bucketed.select(
+            *[c for c in df.columns], F.col("_tb.bucket").alias("_bucket")
+        )
+
+    e = with_buckets(embeddings, vec_col)
+    q = with_buckets(
+        query.select(query_id_col, F.col(vec_col).alias("_qvec")), "_qvec"
+    )
+    cands = (
+        e.join(F.broadcast(q), "_bucket")
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("_qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

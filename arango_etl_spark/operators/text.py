@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting. All built-in-function
+plans (codegen'd, no Python UDFs); the BPE-ish tokenizer uses one regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic.
+# Counts of ' the ' vs ' le ' vs ' der ' etc. decide the language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "de": [" der ", " die ", " und "],
+    "es": [" el ", " los ", " que "],
+}
+
+
+def _count_occurrences(text_col, needle: str):
+    """Occurrences of needle via length arithmetic (pure SQL, no UDF)."""
+    return (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID from stopword-marker frequencies."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(padded, m) for m in markers), F.lit(0.0)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang, score in scores.items():
+        this = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        best = this if best is None else F.when(score > best["score"], this).otherwise(best)
+    out = docs.withColumn("_best", best)
+    return out.withColumn(
+        "predicted_lang",
+        F.when(F.col("_best.score") > 0, F.col("_best.lang")).otherwise(
+            F.lit("unknown")
+        ),
+    ).drop("_best")
+
+
+def quality_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / repetition signals per doc."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    words = F.filter(F.split(F.lower(txt), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    padded = F.concat(F.lit(" "), F.lower(txt), F.lit(" "))
+    stop_hits = sum(
+        (_count_occurrences(padded, m) for ms in LANG_MARKERS.values() for m in ms),
+        F.lit(0.0),
+    )
+    return docs.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        F.round(
+            F.length(F.regexp_replace(txt, r"[^\p{L}]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("q_alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace(txt, r"[^.,;:!?]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("q_punct_ratio"),
+        F.round(
+            stop_hits / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        ).alias("q_stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("q_distinct_word_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword-regex tokens per doc.
+
+    The BPE-ish regex splits on word/number/punctuation boundaries the way
+    byte-pair pretokenizers do (public GPT-2-style pattern simplified to
+    ASCII classes)."""
+    txt = F.col(text_col)
+    ws = F.size(F.filter(F.split(txt, " "), lambda w: w != ""))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(txt, r"(?=[ ])|(?<=[^A-Za-z0-9])(?=[A-Za-z0-9])|(?<=[A-Za-z0-9])(?=[^A-Za-z0-9 ])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+    return docs.select(
+        "*", ws.alias("n_ws_tokens"), bpe_ish.alias("n_bpe_tokens")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling/content fingerprints: md5 of normalized text + a 64-bit
+    order-sensitive polynomial hash over word hashes (so permuted word
+    order changes the fingerprint, unlike a bag-of-words hash)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    words = F.filter(F.split(norm, " "), lambda w: w != "")
+    # modulus < 2^53 so acc*31 + h stays < 2^63 (ANSI overflow-safe)
+    mod = F.lit(9007199254740881)
+    poly = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        # h = (h*31 + xxhash64(w)) mod p  — order-sensitive polynomial hash
+        lambda acc, w: F.pmod(acc * F.lit(31) + F.pmod(F.xxhash64(w), mod), mod),
+    )
+    return docs.select(
+        "*", F.md5(norm).alias("content_md5"), poly.alias("rolling_hash")
+    )

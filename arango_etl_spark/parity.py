@@ -1,0 +1,617 @@
+"""Operator-parity queries: (PySpark builder, DuckDB oracle SQL) pairs.
+
+One entry per implemented operator family from SURVEY.md §2, each runnable
+over the driver's testdata tables (region nation customer supplier part
+orders lineitem events documents embeddings). The driver executes the
+Spark query and the oracle SQL side-by-side and compares row-count +
+schema + order-insensitive value hash — so every computed column is
+aliased identically on both sides, sums are cast to fixed widths, and
+floating-point outputs are rounded.
+
+Reference citations (file:line into /root/reference) are given per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arango_etl_spark.functions.tokenizer import n_tok_sql, tokens_sql
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. cdc_final_state — the flagship: synthesize a 5-version change log over
+# the documents universe, dedup per key with the (doc_id, seq_no) window,
+# apply LWW + deletes (SURVEY.md §2.6 J3/A6; reference UPSERT races at
+# /root/reference/src/handler/arangodb.rs:220-241 made deterministic).
+# --------------------------------------------------------------------------
+_CDC_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)       AS doc_id,
+        d.doc_id * 5 + t.k                        AS seq_no,
+        CASE WHEN (d.doc_id * 3 + t.k) % 11 = 0
+             THEN 'delete' ELSE 'update' END      AS op,
+        {tokens_sql("d.doc_id", "d.doc_id*5 + t.k")} AS tokens,
+        {n_tok_sql("d.doc_id", "d.doc_id*5 + t.k")}  AS n_tok,
+        d.source                                  AS source
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY seq_no DESC
+    ) AS rn FROM ev
+)
+SELECT doc_id, tokens, n_tok, source
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@_register("cdc_final_state", _CDC_SQL)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0, "delete"
+        ).otherwise(F.lit("update")).alias("op"),
+        tokens_expr(F.col("doc_id"), seq).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+        F.col("source"),
+    )
+    w = Window.partitionBy("doc_key").orderBy(F.col("seq_no").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(F.col("doc_key").alias("doc_id"), "tokens", "n_tok", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. lww_latest_per_key — per-key latest event (SURVEY.md A6; replaces the
+# reference's arrival-order LWW, /root/reference/src/handler/arangodb.rs:223-225)
+# --------------------------------------------------------------------------
+_LWW_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_id, event_type, round(value, 6) AS last_value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_id, event_type, last_value FROM ranked WHERE rn = 1
+"""
+
+
+@_register("lww_latest_per_key", _LWW_SQL)
+def lww_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. anti_join_unprocessed — done-file exclusion anti-join (SURVEY.md F1/J1;
+# /root/reference/src/handler/arangodb_handler.rs:159-176)
+# --------------------------------------------------------------------------
+_ANTI_SQL = """
+SELECT c.c_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@_register("anti_join_unprocessed", _ANTI_SQL)
+def anti_join_unprocessed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# 4. semi_join_exists — existence predicate (SURVEY.md F4/F5;
+# /root/reference/src/handler/arangodb.rs:147-169)
+# --------------------------------------------------------------------------
+_SEMI_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@_register("semi_join_exists", _SEMI_SQL)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. resume_cursor — min/max timestamp cursors (SURVEY.md A1/A2;
+# /root/reference/src/handler/arangodb_handler.rs:144-156)
+# --------------------------------------------------------------------------
+_CURSOR_SQL = """
+SELECT max(ts) AS max_ts, min(ts) AS min_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+"""
+
+
+@_register("resume_cursor", _CURSOR_SQL)
+def resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. retry_cap_filter — cap filter over a counter (SURVEY.md F6;
+# /root/reference/src/handler/arangodb_handler.rs:116-142)
+# --------------------------------------------------------------------------
+_RETRY_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id HAVING count(*) <= 20
+"""
+
+
+@_register("retry_cap_filter", _RETRY_SQL)
+def retry_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. set_accumulation — distinct-set accumulate (SURVEY.md A5;
+# UNION_DISTINCT at /root/reference/src/handler/arangodb.rs:222)
+# --------------------------------------------------------------------------
+_SET_SQL = """
+SELECT user_id,
+       list_sort(list_distinct(array_agg(event_type))) AS event_types,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+@_register("set_accumulation", _SET_SQL)
+def set_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. histogram_counts — per-bucket histogram (SURVEY.md A4, exploded form;
+# map-additive variant unit-tested in operators/maps.py;
+# /root/reference/src/handler/arangodb.rs:309-318)
+# --------------------------------------------------------------------------
+_HIST_SQL = """
+SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)
+"""
+
+
+@_register("histogram_counts", _HIST_SQL)
+def histogram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.floor("value").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. lww_greatest_fields — arg-max fields + greatest timestamps
+# (SURVEY.md A6; MAX([OLD,new]) at /root/reference/src/handler/arangodb.rs:223,237)
+# --------------------------------------------------------------------------
+_GREATEST_SQL = """
+SELECT user_id, round(arg_max(value, event_id), 6) AS last_value,
+       max(ts) AS last_seen
+FROM events GROUP BY user_id
+"""
+
+
+@_register("lww_greatest_fields", _GREATEST_SQL)
+def lww_greatest_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max_by("value", "event_id"), 6).alias("last_value"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 10. explode_words — nested-array flatten keeping parent columns
+# (SURVEY.md T4/J2; witness explode at
+# /root/reference/src/document/witness.rs:108-127)
+# --------------------------------------------------------------------------
+_EXPLODE_SQL = """
+SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+                                          w -> w <> '')) AS word
+FROM documents
+"""
+
+
+@_register("explode_words", _EXPLODE_SQL)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 11. edge_keys — key-building string transforms (SURVEY.md T9/T10;
+# /root/reference/src/document/edge.rs:36-43,
+# /root/reference/src/handler/arangodb.rs:305-306)
+# --------------------------------------------------------------------------
+_EDGE_SQL = """
+SELECT event_id,
+       'beacon_' || CAST(user_id AS VARCHAR) || '_witness_' || event_type
+           AS edge_key,
+       'hotspots/' || CAST(user_id AS VARCHAR) AS from_key,
+       'hotspots/' || event_type AS to_key
+FROM events
+"""
+
+
+@_register("edge_keys", _EDGE_SQL)
+def edge_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("beacon_"), uid, F.lit("_witness_"), F.col("event_type"))
+        .alias("edge_key"),
+        F.concat_ws("/", F.lit("hotspots"), uid).alias("from_key"),
+        F.concat_ws("/", F.lit("hotspots"), F.col("event_type")).alias("to_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 12. haversine_distance — pure-SQL great-circle distance (SURVEY.md T7;
+# /root/reference/src/document/beacon.rs:47-60 via h3o LatLng::distance_km)
+# lat/lng synthesized deterministically from user_id.
+# --------------------------------------------------------------------------
+_HAVERSINE_SQL = """
+WITH pts AS (
+    SELECT DISTINCT user_id,
+           CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25  AS lat,
+           CAST((user_id * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lng
+    FROM events
+)
+SELECT user_id,
+       round(2.0 * 6371.0088 * asin(sqrt(
+           sin(radians(lat) / 2) * sin(radians(lat) / 2)
+           + cos(radians(lat)) * cos(radians(0.0))
+             * sin(radians(lng) / 2) * sin(radians(lng) / 2)
+       )), 6) AS distance_km
+FROM pts
+"""
+
+
+@_register("haversine_distance", _HAVERSINE_SQL)
+def haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    lat = (F.pmod(F.col("user_id"), F.lit(170))).cast("double") - 85.0 + 0.25
+    lng = (F.pmod(F.col("user_id") * 7, F.lit(350))).cast("double") - 175.0 + 0.25
+    rl, rg = F.radians(lat), F.radians(lng)
+    dist = 2.0 * 6371.0088 * F.asin(
+        F.sqrt(
+            F.sin(rl / 2) * F.sin(rl / 2)
+            + F.cos(rl) * F.cos(F.radians(F.lit(0.0)))
+            * F.sin(rg / 2) * F.sin(rg / 2)
+        )
+    )
+    return ev.select("user_id", F.round(dist, 6).alias("distance_km"))
+
+
+# --------------------------------------------------------------------------
+# 13. unix_millis — timestamp → epoch millis (SURVEY.md T12;
+# /root/reference/src/document/beacon.rs:71)
+# --------------------------------------------------------------------------
+_MILLIS_SQL = """
+SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+"""
+
+
+@_register("unix_millis", _MILLIS_SQL)
+def unix_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # testdata ts is TIMESTAMP_NTZ; session is pinned UTC so the cast is
+    # instant-preserving and matches DuckDB's UTC-naive epoch_ms
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. ingest_latency — checked time delta per key (SURVEY.md T11;
+# /root/reference/src/document/edge.rs:20-23)
+# --------------------------------------------------------------------------
+_LATENCY_SQL = """
+SELECT event_id,
+       CAST(coalesce(epoch_ms(ts) - epoch_ms(
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       ), 0) AS BIGINT) AS latency_ms
+FROM events
+"""
+
+
+@_register("ingest_latency", _LATENCY_SQL)
+def ingest_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731  (NTZ → UTC)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            ms(F.col("ts")) - ms(F.lag("ts").over(w)), F.lit(0)
+        ).alias("latency_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 15. exact_dedup_docs — exact dedup via content hash (training-data op;
+# groupBy content digest, keep first-by-id)
+# --------------------------------------------------------------------------
+_DEDUP_SQL = """
+SELECT md5(text) AS text_md5,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@_register("exact_dedup_docs", _DEDUP_SQL)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 16. token_stats — whitespace token counting (training-data op)
+# --------------------------------------------------------------------------
+_TOKSTATS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+@_register("token_stats", _TOKSTATS_SQL)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 17. quality_score — text quality heuristics (training-data op)
+# --------------------------------------------------------------------------
+_QUALITY_SQL = """
+SELECT doc_id,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS alpha_ratio,
+       length(text) >= 100 AS len_ok
+FROM documents WHERE length(text) > 0
+"""
+
+
+@_register("quality_score", _QUALITY_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+        (F.length("text") >= 100).alias("len_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 18. doc_fingerprint — normalized content fingerprint (training-data op)
+# --------------------------------------------------------------------------
+_FP_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS fingerprint
+FROM documents
+"""
+
+
+@_register("doc_fingerprint", _FP_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 19. embedding_cosine_topk — brute-force ANN baseline (training-data op):
+# top-10 cosine neighbors of vec_id=0, tie-broken by vec_id.
+# --------------------------------------------------------------------------
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+    SELECT e.vec_id,
+           round(
+             list_dot_product(e.embedding, q.qe)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cos_sim
+    FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@_register("embedding_cosine_topk", _COSINE_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qe"))
+                / (
+                    F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(dot(F.col("qe"), F.col("qe")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# --------------------------------------------------------------------------
+# 20. pricing_summary — TPC-H Q1-style multi-agg (SURVEY.md §2.5 parity /
+# bench headline; exercises partial-agg + codegen)
+# --------------------------------------------------------------------------
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("pricing_summary", _Q1_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 21. minhash_lsh_candidates — near-dup candidate pairs via MinHash+LSH
+# (training-data op). NOT SQL-expressible portably (relies on xxhash64) →
+# rows-only check: no oracle entry.
+# --------------------------------------------------------------------------
+@_register("minhash_lsh_candidates", None)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=32, n_bands=8
+    )
+
+
+# --------------------------------------------------------------------------
+# 22. simhash_docs — 64-bit SimHash per document (training-data op).
+# xxhash64-based → rows-only check.
+# --------------------------------------------------------------------------
+@_register("simhash_docs", None)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,136 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: the CDC replay itself (generate → micro-batch MERGE → final
+state) at $SPARK_GRAFT_SF_DIR scale, plus the flagship parity queries.
+Run:  SPARK_GRAFT_CPUS=32 python bench.py
+Env:  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CPUS    (default 32)
+      BENCH_N_EVENTS      (default 2_000_000)
+      BENCH_STRATEGY      (default mor)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from arango_etl_spark import parity  # noqa: E402
+from arango_etl_spark.operators.merge_into import apply_changes  # noqa: E402
+from arango_etl_spark.plans.lakehouse import SnapshotTable  # noqa: E402
+from arango_etl_spark.session import get_spark  # noqa: E402
+from arango_etl_spark.sources.cdc_generator import (  # noqa: E402
+    GeneratorConfig,
+    generate_events,
+)
+from arango_etl_spark.streaming.runner import EVENT_SCHEMA  # noqa: E402
+
+PARITY_QUERIES = [
+    "cdc_final_state",
+    "pricing_summary",
+    "lww_latest_per_key",
+    "exact_dedup_docs",
+    "histogram_counts",
+    "minhash_lsh_candidates",
+    "embedding_cosine_topk",
+]
+
+
+def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
+                     strategy: str, n_batches: int = 8) -> dict:
+    """Generate a change log over the sf documents universe, write it as
+    batch files (not timed), then time the replay: per-batch dedup + MERGE
+    + commit, including the periodic compaction — the sustained-ingest
+    number the north rule targets."""
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    cfg = GeneratorConfig(
+        n_events=n_events,
+        n_docs=max(n_docs, 1),
+        n_batches=n_batches,
+        seed=42,
+        hot_doc_permille=100,  # 10% of events on one hot doc (skew on)
+    )
+    events_dir = os.path.join(work_dir, "events")
+    generate_events(spark, cfg).write.partitionBy("batch_id").parquet(events_dir)
+
+    table_dir = os.path.join(work_dir, "table")
+    from pyspark.sql import types as T
+
+    payload = T.StructType([f for f in EVENT_SCHEMA.fields
+                            if f.name in ("doc_id", "tokens", "n_tok", "source")])
+    table = SnapshotTable.create(table_dir, payload, n_buckets=64)
+
+    n_total = spark.read.parquet(events_dir).count()
+    t0 = time.monotonic()
+    for b in range(cfg.n_batches):
+        batch = spark.read.schema(EVENT_SCHEMA).parquet(
+            f"{events_dir}/batch_id={b}"
+        ).withColumn("batch_id", F.lit(b).cast("long"))
+        apply_changes(
+            spark, table, batch,
+            batch_id=b, fence_stream_id="bench",
+            strategy=strategy, compact_every=4,
+        )
+    replay_secs = time.monotonic() - t0
+    # read-side cost: resolve final state once (counts as part of MoR)
+    t1 = time.monotonic()
+    n_final = table.read(spark).count()
+    read_secs = time.monotonic() - t1
+    return {
+        "replay_secs": round(replay_secs, 3),
+        "final_read_secs": round(read_secs, 3),
+        "events": n_total,
+        "events_per_sec": round(n_total / replay_secs, 1),
+        "final_rows": n_final,
+        "strategy": strategy,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_N_EVENTS", "2000000"))
+    strategy = os.environ.get("BENCH_STRATEGY", "mor")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+
+    work_dir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        replay = bench_cdc_replay(spark, sf_dir, work_dir, n_events, strategy)
+        queries["cdc_replay"] = replay["replay_secs"]
+        queries["cdc_final_read"] = replay["final_read_secs"]
+
+        qmap = parity.queries()
+        for name in PARITY_QUERIES:
+            t0 = time.monotonic()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(queries.values()), 3)
+        print(json.dumps({
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": cpus,
+            "replay": replay,
+        }))
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Mirror of the driver's correctness harness: run each queries() entry at
+sf0.01 and compare against oracle_sql() via DuckDB — row count, column
+names, and order-insensitive value equality."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    return v
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in idx) for r in rows
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_vs_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    sdata = df.collect()
+    scols = df.columns
+
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        assert len(sdata) >= 0  # rows-only check
+        assert len(scols) > 0
+        return
+
+    res = duck.execute(oracles[name])
+    dcols = [d[0] for d in res.description]
+    ddata = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(sdata) == len(ddata), f"{name}: row count {len(sdata)} vs {len(ddata)}"
+    srows = _norm_rows(scols, [tuple(r) for r in sdata])
+    drows = _norm_rows(dcols, ddata)
+    mism = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{srows[mism[0]]} vs {drows[mism[0]]}"
+    )

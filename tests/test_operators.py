@@ -1,0 +1,181 @@
+"""Unit tests for the operator library: additive map merge (A4), dedup
+family, similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators import dedup, maps, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- maps
+def test_map_add_is_additive(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2}, {"b": 3, "c": 4})],
+        "m1 map<string,int>, m2 map<string,int>",
+    )
+    out = df.select(maps.map_add(F.col("m1"), F.col("m2")).alias("m")).collect()[0]["m"]
+    assert dict(out) == {"a": 1, "b": 5, "c": 4}
+
+
+def test_histogram_map_and_upsert(spark):
+    ev = spark.createDataFrame(
+        [("e1", 1), ("e1", 1), ("e1", 2), ("e2", 5)], "k string, bucket int"
+    )
+    hist = maps.histogram_map(ev, ["k"], "bucket")
+    h = {r["k"]: dict(r["hist"]) for r in hist.collect()}
+    assert h == {"e1": {1: 2, 2: 1}, "e2": {5: 1}}
+
+    # accumulate-upsert: merge a second batch into the first
+    batch2 = maps.histogram_map(
+        spark.createDataFrame([("e1", 2), ("e3", 9)], "k string, bucket int"),
+        ["k"], "bucket",
+    )
+    merged = maps.merge_histogram_upsert(hist, batch2, ["k"], "hist")
+    m = {r["k"]: dict(r["hist"]) for r in merged.collect()}
+    assert m == {"e1": {1: 2, 2: 2}, "e2": {5: 1}, "e3": {9: 1}}
+
+
+# ------------------------------------------------------------------ dedup
+def test_minhash_detects_near_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different content about spark query engines at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, n_bands=16).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_jaccard_exact(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),
+        (3, "z y x w v u t s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_ngram_pairs(df, ngram=2, threshold=0.5).collect()
+    d = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in d and d[(1, 2)] >= 0.5
+    assert (1, 3) not in d
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = [
+        (1, "spark is a unified analytics engine for large scale data"),
+        (2, "spark is a unified analytics engine for large scale data!"),
+        (3, "unrelated words entirely here about cooking pasta tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash63"] for r in dedup.simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = dedup.minhash_signatures(docs.limit(20), n_hashes=16)
+    rows = sig.collect()
+    assert all(len(r["signature"]) == 16 for r in rows)
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_exact(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") != 0)
+    top = similarity.cosine_topk(base, q, k=5).collect()
+    assert len(top) == 5
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_topk_recall(spark, emb):
+    dim = len(emb.select("embedding").first()["embedding"])
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(base, q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in similarity.lsh_cosine_topk(
+            base, q, dim=dim, k=10, n_planes=4, n_tables=16
+        ).collect()
+    }
+    # these synthetic embeddings are near-orthogonal (best cos≈0.33 →
+    # sign-agreement s≈0.61): 16 tables x 4 planes → recall ≈ 1-(1-s^4)^16 ≈ 0.9
+    assert len(exact & approx) >= 5
+
+
+# --------------------------------------------------------------------- text
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog sat of the mat"),
+        (2, "le chat et la souris et le fromage"),
+        (3, "der hund und die katze und der vogel"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "unknown"}
+
+
+def test_quality_signals(spark, docs):
+    q = text.quality_signals(docs.limit(50)).collect()
+    for r in q:
+        assert 0 <= r["q_alpha_ratio"] <= 1
+        assert 0 <= r["q_punct_ratio"] <= 1
+        assert 0 < r["q_distinct_word_ratio"] <= 1
+
+
+def test_token_counts_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times."), (2, "Hello, world! 42 times.")],
+        "doc_id long, text string",
+    )
+    tc = text.token_counts(df).first()
+    assert tc["n_ws_tokens"] == 4
+    assert tc["n_bpe_tokens"] >= 4  # punctuation split off
+    fp = text.fingerprint(df).collect()
+    assert fp[0]["content_md5"] == fp[1]["content_md5"]
+    assert fp[0]["rolling_hash"] == fp[1]["rolling_hash"]
+    # order sensitivity
+    df2 = spark.createDataFrame([(3, "world! Hello, times. 42")], "doc_id long, text string")
+    fp2 = text.fingerprint(df2).first()
+    assert fp2["rolling_hash"] != fp[0]["rolling_hash"]
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(30))
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic
+    again = multimodal.extract_features(media, fake=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decode_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"bytes", fake=False)

@@ -1,0 +1,105 @@
+"""M2: Structured Streaming exactly-once ingest — drain, rerun-idempotence,
+kill/resume mid-replay, lineage counters (SURVEY.md §2.8 ST2/ST4/ST5/ST8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from arango_etl_spark.operators.merge_into import apply_changes
+from arango_etl_spark.oracle import assert_states_equal, reduce_events_duckdb
+from arango_etl_spark.plans.lakehouse import SnapshotTable
+from arango_etl_spark.sources.cdc_generator import (
+    GeneratorConfig,
+    write_event_batches,
+)
+from arango_etl_spark.streaming.lineage import LineageLog
+from arango_etl_spark.streaming.runner import IngestConfig, run_ingest
+from tests.test_merge import PAYLOAD_SCHEMA
+
+CFG = GeneratorConfig(n_events=3_000, n_docs=250, n_batches=6, seed=21)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    write_event_batches(spark, CFG, d)
+    return d
+
+
+def mk_table(tmp_path, name):
+    return SnapshotTable.create(
+        str(tmp_path / name), PAYLOAD_SCHEMA, key_col="doc_id", n_buckets=16
+    )
+
+
+def test_stream_drain_matches_oracle(spark, tmp_path, events_dir):
+    t = mk_table(tmp_path, "drain")
+    lineage = LineageLog(str(tmp_path / "lineage"))
+    run_ingest(
+        spark, events_dir, t, str(tmp_path / "ckpt"), lineage=lineage,
+        cfg=IngestConfig(max_files_per_trigger=2, compact_every=3),
+    )
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+    # lineage: per-partition counters recorded, totals match the feed
+    lin = lineage.read(spark)
+    assert lin.count() > 0
+    seen = lin.groupBy().sum("events_seen").collect()[0][0]
+    assert seen == spark.read.parquet(events_dir).count()
+    thr = lineage.throughput(spark).collect()
+    assert all(r["events_per_sec"] > 0 for r in thr)
+
+
+def test_stream_rerun_same_checkpoint_is_noop(spark, tmp_path, events_dir):
+    """Second drain from the same checkpoint: no new data → no new commits."""
+    t = mk_table(tmp_path, "rerun")
+    ckpt = str(tmp_path / "ckpt")
+    run_ingest(spark, events_dir, t, ckpt)
+    v1, s1 = t.current_version(), t.read(spark).count()
+    run_ingest(spark, events_dir, t, ckpt)
+    assert t.current_version() == v1
+    assert t.read(spark).count() == s1
+
+
+def test_stream_fresh_checkpoint_refeed_is_fenced(spark, tmp_path, events_dir):
+    """Losing the checkpoint but keeping the table: epochs restart at 0 and
+    every batch re-applies. State must converge to the same final answer
+    (idempotent re-application — the at-least-once + absorbing-write story
+    the reference relies on, done deterministically here)."""
+    t = mk_table(tmp_path, "refeed")
+    run_ingest(spark, events_dir, t, str(tmp_path / "ckpt1"))
+    expected = t.read(spark).toPandas()
+    run_ingest(spark, events_dir, t, str(tmp_path / "ckpt2"))  # full refeed
+    assert_states_equal(t.read(spark).toPandas(), expected)
+
+
+def test_stream_kill_and_resume(spark, tmp_path, events_dir):
+    """Fault injection at epoch 1 → query dies mid-replay; restart from the
+    same checkpoint resumes and the final state matches the oracle
+    (reference ST5 retry loop, arangodb_handler.rs:94-111)."""
+    t = mk_table(tmp_path, "kill")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected failure"):
+        run_ingest(
+            spark, events_dir, t, ckpt,
+            cfg=IngestConfig(max_files_per_trigger=1, fail_batches=frozenset({1})),
+        )
+    v_mid = t.current_version()
+    assert v_mid >= 1  # epoch 0 landed before the crash
+    run_ingest(spark, events_dir, t, ckpt)  # resume, no fault
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+
+def test_manual_reapply_of_committed_epoch_is_skipped(spark, tmp_path, events_dir):
+    """Simulated foreachBatch redelivery: same epoch id re-applied directly
+    (bypassing the checkpoint) → fence skips it (FIXTURES §6.3)."""
+    t = mk_table(tmp_path, "redeliver")
+    batch = spark.read.parquet(f"{events_dir}/batch=00000")
+    apply_changes(spark, t, batch, batch_id=0, fence_stream_id="cdc")
+    v1 = t.current_version()
+    res = apply_changes(spark, t, batch, batch_id=0, fence_stream_id="cdc")
+    assert res.skipped and t.current_version() == v1
