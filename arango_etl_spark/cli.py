@@ -1,0 +1,150 @@
+"""spark-submit entry point with the reference's three run modes
+(/root/reference/src/main.rs:9-17, README.md:31-62):
+
+  history   — bounded replay of a seq_no range
+              (/root/reference/src/cli/history.rs:23-27)
+  rehydrate — replay a single event-time day
+              (/root/reference/src/cli/rehydrate.rs:20-37)
+  current   — continuous micro-batch tail
+              (/root/reference/src/cli/current.rs:17-32, tracker.rs:24-44)
+
+Usage (local or cluster — the code is identical; on a cluster pass
+--py-files of this package):
+
+  spark-submit --py-files engine.zip -m arango_etl_spark.cli history \
+      --events /data/events --table /warehouse/tokenized_sequences \
+      --after 0 --before 10000000
+
+State: table root (SnapshotTable), checkpoint dir (Structured Streaming),
+lineage dir — all supplied explicitly; no hidden config (the reference's
+TOML+env settings.rs collapses to these flags).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators.merge_into import apply_changes
+from arango_etl_spark.plans.lakehouse import SnapshotTable
+from arango_etl_spark.session import get_spark
+from arango_etl_spark.streaming.lineage import LineageLog
+from arango_etl_spark.streaming.runner import (
+    EVENT_SCHEMA,
+    IngestConfig,
+    run_ingest,
+)
+
+
+def _table(args) -> SnapshotTable:
+    if SnapshotTable.exists(args.table):
+        return SnapshotTable(args.table)
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [f for f in EVENT_SCHEMA.fields
+         if f.name in ("doc_id", "tokens", "n_tok", "source")]
+    )
+    return SnapshotTable.create(args.table, payload, n_buckets=args.buckets)
+
+
+def cmd_history(spark, args) -> None:
+    """Bounded replay: all events with after <= seq_no < before, applied as
+    one batch per batch_id (out-of-order within, ordered by the LWW rule)."""
+    events = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(args.events)
+        .where(
+            (F.col("seq_no") >= args.after)
+            & (F.col("seq_no") < (args.before if args.before else 1 << 62))
+        )
+    )
+    table = _table(args)
+    batch_ids = sorted(
+        r["batch_id"] for r in events.select("batch_id").distinct().collect()
+    )
+    for b in batch_ids:
+        apply_changes(
+            spark, table, events.where(F.col("batch_id") == b),
+            batch_id=b, fence_stream_id=args.stream_id,
+            strategy=args.strategy,
+        )
+    print(f"history replay done: {len(batch_ids)} batches, "
+          f"table v{table.current_version()}")
+
+
+def cmd_rehydrate(spark, args) -> None:
+    """Single-day replay (event-time bounded) — the reference's date →
+    [D 00:00, D+1) range."""
+    events = (
+        spark.read.schema(EVENT_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(args.events)
+        .where(F.to_date("event_ts") == F.lit(args.date).cast("date"))
+    )
+    table = _table(args)
+    apply_changes(
+        spark, table, events,
+        batch_id=None, fence_stream_id=None, strategy=args.strategy,
+    )
+    print(f"rehydrate {args.date} done: table v{table.current_version()}")
+
+
+def cmd_current(spark, args) -> None:
+    """Continuous tail: Structured Streaming file source + foreachBatch
+    MERGE, checkpoint-resumable, batch-id fenced."""
+    table = _table(args)
+    lineage = LineageLog(args.lineage) if args.lineage else None
+    q = run_ingest(
+        spark, args.events, table, args.checkpoint,
+        lineage=lineage,
+        cfg=IngestConfig(
+            stream_id=args.stream_id, strategy=args.strategy,
+            max_files_per_trigger=args.max_files_per_trigger,
+        ),
+        available_now=args.drain,
+    )
+    if q is not None:
+        q.awaitTermination()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="arango_etl_spark")
+    p.add_argument("--events", required=True, help="change-event log dir (parquet)")
+    p.add_argument("--table", required=True, help="target SnapshotTable root")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--stream-id", default="cdc")
+    p.add_argument("--strategy", default="mor", choices=["mor", "cow"])
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    h = sub.add_parser("history")
+    h.add_argument("--after", type=int, default=0)
+    h.add_argument("--before", type=int, default=None)
+
+    r = sub.add_parser("rehydrate")
+    r.add_argument("--date", required=True, help="YYYY-MM-DD event-time day")
+
+    c = sub.add_parser("current")
+    c.add_argument("--drain", action="store_true",
+                   help="availableNow: drain backlog then stop (replay mode)")
+    c.add_argument("--max-files-per-trigger", type=int, default=8)
+
+    args = p.parse_args()
+    if args.cmd == "current" and not args.checkpoint:
+        p.error("current mode requires --checkpoint")
+
+    spark = get_spark("arango_etl_spark", cores=args.cores)
+    try:
+        {"history": cmd_history, "rehydrate": cmd_rehydrate,
+         "current": cmd_current}[args.cmd](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

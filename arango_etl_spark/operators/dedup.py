@@ -17,10 +17,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Small dimension tables often arrive as one parquet file → one task.
+    Spread to cluster parallelism before the CPU-heavy shingle/hash work
+    (cost: one tiny shuffle; win: full-width codegen stages)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def shingles(
     docs: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Word n-gram shingles per document (lowercased, whitespace-split)."""
+    docs = _spread(docs)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
     )
@@ -88,21 +99,44 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Pairs via bucket grouping, NOT a self-join: a self-join recomputes
+    # the whole signature pipeline for each side; grouping computes it once
+    # and generates in-bucket pairs with an array comprehension. Bucket
+    # sizes are bounded (docs agreeing on a full band are near-dups).
+    return _pairs_from_buckets(bands, ["band", "band_hash"], id_col).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def _pairs_from_buckets(
+    df: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """(doc_a, doc_b) for every unordered pair co-occurring in a bucket.
+
+    Buckets larger than ``max_bucket`` are dropped (stop-shingle guard):
+    a bucket of size m yields m(m-1)/2 pairs, so unbounded hot buckets —
+    boilerplate text, empty docs — would explode quadratically at scale.
+    """
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .where(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket)
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_ids"), i + 2,
+                    F.greatest(F.size("_ids") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 def simhash(
@@ -113,6 +147,7 @@ def simhash(
     Pure columnar: explode words → 64 bit-vote columns via shift/and →
     groupBy sum → reassemble bits. No UDF.
     """
+    docs = _spread(docs)
     words = docs.select(
         id_col,
         F.explode(
@@ -163,19 +198,11 @@ def jaccard_ngram_pairs(
     """
     sh = shingles(docs, text_col, ngram, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # inverted index: |A∩B| = number of shingle-buckets where both appear
+    # (bucket grouping, not a self-join — see _pairs_from_buckets)
+    inter = _pairs_from_buckets(sh, ["shingle"], id_col).groupBy(
+        "doc_a", "doc_b"
+    ).agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     return (

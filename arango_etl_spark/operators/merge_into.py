@@ -36,6 +36,7 @@ SURVEY.md §4.3.1).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -43,10 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from arango_etl_spark.operators import dedup_window
-from arango_etl_spark.plans.lakehouse import (
-    META_NAMES,
-    SnapshotTable,
-)
+from arango_etl_spark.plans.lakehouse import SnapshotTable, lww_resolve
 
 CDC_META = ["op", "seq_no", "batch_id", "event_ts"]
 
@@ -160,10 +158,8 @@ def apply_changes(
 
     # CoW must read existing files with the widened schema so evolved
     # columns resolve on the target side (null-backfilled for old files)
-    import json as _json
-
     read_manifest = (
-        {**manifest, "schema": _json.loads(payload_schema.json())}
+        {**manifest, "schema": json.loads(payload_schema.json())}
         if evolved_schema is not None
         else manifest
     )
@@ -279,8 +275,6 @@ def compact(spark: SparkSession, table: SnapshotTable) -> dict:
     At cluster scale this is Iceberg's rewrite_data_files maintenance job;
     run it off the ingest hot path."""
     manifest = table.manifest()
-    from arango_etl_spark.plans.lakehouse import lww_resolve
-
     stored = table.read_stored(spark, manifest=manifest)
     resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
         "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)

@@ -1,0 +1,50 @@
+"""Physical-plan inspection helpers — the engine's own `.explain`
+assertions (pushdown, broadcast, partial aggregation, codegen spans) so
+plan quality is tested, not eyeballed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    p = formatted_plan(df)
+    return "PushedFilters: [" in p and "PushedFilters: []" not in p
+
+
+def pruned_columns(df: DataFrame) -> str:
+    """The ReadSchema the parquet scan actually requests."""
+    p = formatted_plan(df)
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            return line.strip()
+    return ""
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """Two-phase hash aggregation (map-side combine before the shuffle)."""
+    p = physical_plan(df)
+    return p.count("HashAggregate") >= 2 or "partial" in p.lower()
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    p = physical_plan(df)
+    # simpleString marks whole-stage-codegen operators with "*(id)";
+    # formatted explain spells it out
+    return max(p.count("WholeStageCodegen"), len(set(
+        tok.split(")")[0] for tok in p.split("*(")[1:]
+    )))

@@ -188,7 +188,14 @@ class SnapshotTable:
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"commit-{commit_id}")
         out = os.path.join(self.root, rel)
-        writer = df.repartition(F.col(bucket_col))
+        # explicit partition count: with a bare repartition(col), AQE
+        # coalesces the small post-dedup exchange to 1-2 partitions and the
+        # write/sort loses all parallelism (hurts the N→4N scaling curve)
+        n_parts = max(
+            df.sparkSession.sparkContext.defaultParallelism,
+            self.manifest()["n_buckets"] // 4,
+        )
+        writer = df.repartition(n_parts, F.col(bucket_col))
         if sort_within:
             writer = writer.sortWithinPartitions(bucket_col, self.manifest()["key_col"])
         writer.write.partitionBy(bucket_col).mode("error").parquet(out)

@@ -1,0 +1,70 @@
+"""CLI smoke tests — the three reference run modes end-to-end in
+subprocesses (history bounded replay, rehydrate by day, current drain)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from arango_etl_spark.oracle import assert_states_equal, reduce_events_duckdb
+from arango_etl_spark.plans.lakehouse import SnapshotTable
+from arango_etl_spark.sources.cdc_generator import (
+    GeneratorConfig,
+    write_event_batches,
+)
+
+CFG = GeneratorConfig(n_events=1_500, n_docs=120, n_batches=3, seed=5)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli") / "events")
+    write_event_batches(spark, CFG, d)
+    return d
+
+
+def run_cli(*argv: str) -> None:
+    out = subprocess.run(
+        [sys.executable, "-m", "arango_etl_spark.cli", *argv],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+
+def test_cli_history_matches_oracle(spark, events_dir, tmp_path):
+    table_dir = str(tmp_path / "tab")
+    run_cli(
+        "--events", events_dir, "--table", table_dir, "--cores", "4",
+        "history", "--after", "0",
+    )
+    actual = SnapshotTable(table_dir).read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+
+def test_cli_current_drain_matches_oracle(spark, events_dir, tmp_path):
+    table_dir = str(tmp_path / "tab")
+    run_cli(
+        "--events", events_dir, "--table", table_dir, "--cores", "4",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--lineage", str(tmp_path / "lin"),
+        "current", "--drain",
+    )
+    actual = SnapshotTable(table_dir).read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+
+def test_cli_rehydrate_day_subset(spark, events_dir, tmp_path):
+    table_dir = str(tmp_path / "tab")
+    run_cli(
+        "--events", events_dir, "--table", table_dir, "--cores", "4",
+        "rehydrate", "--date", "2024-01-01",
+    )
+    t = SnapshotTable(table_dir)
+    # all generated events are on 2024-01-01 (seq_no seconds past midnight)
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)

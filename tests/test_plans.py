@@ -1,0 +1,73 @@
+"""Plan-quality assertions: predicate pushdown reaches the parquet scan,
+column pruning trims ReadSchema, small sides broadcast, aggregations have
+map-side partial phases, hot paths stay in WholeStageCodegen
+(SURVEY.md §4 — what Catalyst must be allowed to do for 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators.dedup_window import dedup_events
+from arango_etl_spark.plans import explain
+from arango_etl_spark import parity
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_to_scan(spark):
+    df = parity.pricing_summary(spark, SF)
+    assert explain.has_pushed_filters(df), explain.formatted_plan(df)[:2000]
+
+
+def test_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .where(F.col("l_quantity") > 10)
+    )
+    rs = explain.pruned_columns(df)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs, rs
+
+
+def test_broadcast_join_for_small_side(spark):
+    df = parity.embedding_cosine_topk(spark, SF)
+    assert explain.uses_broadcast_join(df), explain.physical_plan(df)[:2000]
+
+
+def test_dedup_has_partial_aggregation(spark):
+    """The max_by dedup must pre-reduce map-side (hot-key safety)."""
+    ev = spark.createDataFrame(
+        [("a", 1, 0, "i")], "doc_id string, seq_no long, batch_id long, op string"
+    ).withColumn("event_ts", F.current_timestamp())
+    df = dedup_events(ev)
+    plan = explain.physical_plan(df)
+    # max_by over a struct payload aggregates sort-based, but the partial
+    # (map-side) phase must be present: "partial_max_by" before the Exchange
+    assert "partial_max_by" in plan, plan[:2000]
+
+
+def test_codegen_in_hot_path(spark):
+    df = parity.cdc_final_state(spark, SF)
+    df.collect()  # finalize THIS dataset's AQE plan (count() builds a new one)
+    plan = explain.physical_plan(df)
+    assert explain.codegen_stage_count(df) >= 1, plan[:2000]
+
+
+def test_window_dedup_uses_group_limit(spark):
+    """Catalyst rewrites rn=1 windows into WindowGroupLimit with a Partial
+    phase before the shuffle — per-key top-1 never materializes a hot key's
+    full row set in one task. Guard that this optimization stays active."""
+    df = parity.cdc_final_state(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan, plan[:2000]
+
+
+def test_anti_join_broadcasts(spark):
+    """The done-files anti-join (F1) must broadcast the small ledger side,
+    not shuffle the big fact side."""
+    files = spark.range(0, 100_000).select(F.col("id").alias("key"))
+    done = spark.range(0, 100).select(F.col("id").alias("key"))
+    out = files.join(F.broadcast(done), "key", "left_anti")
+    assert explain.uses_broadcast_join(out)
