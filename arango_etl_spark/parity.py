@@ -609,6 +609,235 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# 23. base64url_ids — URL-safe base64 key encoding (SURVEY.md T1;
+# poc_id = URL_SAFE_NO_PAD base64, /root/reference/src/document/beacon.rs:68)
+# --------------------------------------------------------------------------
+_B64_SQL = """
+SELECT doc_id,
+       rtrim(translate(to_base64(encode(substr(text, 1, 24))), '+/', '-_'),
+             '=') AS key_b64url
+FROM documents
+"""
+
+
+@_register("base64url_ids", _B64_SQL)
+def base64url_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.translate(
+                F.base64(F.encode(F.substring("text", 1, 24), "utf-8")),
+                "+/", "-_",
+            ),
+            "=+$", "",
+        ).alias("key_b64url"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 24. deterministic_names — pubkey → readable name (SURVEY.md T8;
+# angry-purple-tiger naming, /root/reference/src/document/mod.rs:22-24):
+# same words, chosen by pure arithmetic so both engines agree.
+# --------------------------------------------------------------------------
+_ADJ = ["angry", "brave", "calm", "dapper", "eager", "fancy", "gentle", "happy"]
+_COL = ["purple", "red", "blue", "green", "amber", "coral", "ivory", "jade"]
+_ANI = ["tiger", "otter", "heron", "lynx", "mole", "newt", "okapi", "panda"]
+
+
+def _name_sql() -> str:
+    adj = "[" + ",".join(f"'{w}'" for w in _ADJ) + "]"
+    col = "[" + ",".join(f"'{w}'" for w in _COL) + "]"
+    ani = "[" + ",".join(f"'{w}'" for w in _ANI) + "]"
+    return f"""
+SELECT user_id,
+       {adj}[CAST(user_id % 8 AS INT) + 1] || '-' ||
+       {col}[CAST((user_id // 8) % 8 AS INT) + 1] || '-' ||
+       {ani}[CAST((user_id // 64) % 8 AS INT) + 1] AS animal_name
+FROM (SELECT DISTINCT user_id FROM events)
+"""
+
+
+@_register("deterministic_names", _name_sql())
+def deterministic_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    adj = F.array(*[F.lit(w) for w in _ADJ])
+    col = F.array(*[F.lit(w) for w in _COL])
+    ani = F.array(*[F.lit(w) for w in _ANI])
+    u = F.col("user_id")
+    return ev.select(
+        "user_id",
+        F.concat_ws(
+            "-",
+            F.element_at(adj, F.pmod(u, F.lit(8)).cast("int") + 1),
+            F.element_at(col, F.pmod(F.floor(u / 8), F.lit(8)).cast("int") + 1),
+            F.element_at(ani, F.pmod(F.floor(u / 64), F.lit(8)).cast("int") + 1),
+        ).alias("animal_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 25. zero_default_lookup — missing-row default fold (SURVEY.md A7/F3;
+# retries lookup defaults 0, /root/reference/src/handler/arangodb.rs:140-144)
+# --------------------------------------------------------------------------
+_ZERO_SQL = """
+SELECT c.c_custkey,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
+@_register("zero_default_lookup", _ZERO_SQL)
+def zero_default_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# 26. sessionize — gap-based sessionization (beyond-reference OLAP op:
+# lag + cumulative sum over gap>30min boundaries)
+# --------------------------------------------------------------------------
+_SESSION_SQL = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_ms(ts) - epoch_ms(
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           ) > 1800000 THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@_register("sessionize", _SESSION_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            ms(F.col("ts")) - ms(F.lag("ts").over(w)) > 1_800_000, 1
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# 27. topk_per_group — per-group top-k (beyond-reference OLAP op; Catalyst
+# rewrites to WindowGroupLimit: partial top-k before the shuffle)
+# --------------------------------------------------------------------------
+_TOPK_SQL = """
+WITH ranked AS (
+    SELECT event_type, event_id, round(value, 6) AS value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id ASC
+           ) AS rk
+    FROM events
+)
+SELECT event_type, event_id, value, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@_register("topk_per_group", _TOPK_SQL)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "event_type", "event_id",
+            F.round("value", 6).alias("value"), F.col("rk").cast("int"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 28. pivot_event_counts — manual pivot (conditional aggregation; stable
+# across engines unlike native PIVOT column naming)
+# --------------------------------------------------------------------------
+_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+@_register("pivot_event_counts", _PIVOT_SQL)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.count(  # noqa: E731
+        F.when(F.col("event_type") == t, F.lit(1))
+    )
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 29. rollup_pricing — hierarchical totals (beyond-reference: ROLLUP
+# grouping sets, subtotal rows labeled 'ALL')
+# --------------------------------------------------------------------------
+_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@_register("rollup_pricing", _ROLLUP_SQL)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n_rows",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
