@@ -286,6 +286,42 @@ class SnapshotTable:
         v = self.manifest()["summary"].get(f"fence.{stream_id}")
         return None if v is None else int(v)
 
+    # ------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Garbage-collect: drop manifests older than the last ``keep_last``
+        versions and delete data files no surviving snapshot references
+        (Iceberg's expire_snapshots). Readers of retained versions are
+        unaffected — files shared with newer snapshots are kept."""
+        cur = self.current_version()
+        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        all_versions = sorted(
+            int(f[1:-5]) for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        for v in keep_versions:
+            m = self.manifest(v)
+            for fs in m["files"].values():
+                referenced.update(fs)
+        removed_files = 0
+        for v in all_versions:
+            if v in keep_versions:
+                continue
+            m = self.manifest(v)
+            for fs in m["files"].values():
+                for rel in fs:
+                    if rel not in referenced:
+                        p = os.path.join(self.root, rel)
+                        if os.path.exists(p):
+                            os.unlink(p)
+                            removed_files += 1
+            os.unlink(os.path.join(self.meta_dir, f"v{v}.json"))
+        return {
+            "expired_versions": len([v for v in all_versions
+                                     if v not in keep_versions]),
+            "removed_files": removed_files,
+        }
+
 
 def lww_resolve(stored: DataFrame, key_col: str) -> DataFrame:
     """Reduce stored rows to one winning row per key under the canonical

@@ -77,6 +77,25 @@ class LineageLog:
             os.path.join(self.root, f"batch={batch_id:012d}")
         )
 
+    def record_failure(
+        self, spark: SparkSession, batch_id: int, retries: int, status: str = "retried"
+    ) -> None:
+        """One row per failed attempt (partition_id = -1): the engine's
+        retry ledger. The reference silently DROPPED a file when its retry
+        lookup errored (/root/reference/src/handler/arangodb_handler.rs:132-136
+        — hazard §4.3.5); here every attempt is durably recorded."""
+        row = [(int(batch_id), -1, 0, 0, 0, None, status, int(retries), None)]
+        spark.createDataFrame(row, LINEAGE_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.root, f"batch={batch_id:012d}")
+        )
+
+    def failure_count(self, spark: SparkSession, batch_id: int) -> int:
+        p = os.path.join(self.root, f"batch={batch_id:012d}")
+        if not os.path.exists(p):
+            return 0
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(p)
+        return df.where(F.col("status").isin("retried", "poisoned")).count()
+
     def read(self, spark: SparkSession) -> DataFrame:
         dirs = [d for d in os.listdir(self.root) if d.startswith("batch=")]
         if not dirs:

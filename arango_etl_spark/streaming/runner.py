@@ -54,6 +54,10 @@ class IngestConfig:
     compact_every: int = 8
     max_files_per_trigger: int = 4
     fail_batches: frozenset[int] = frozenset()  # fault injection for tests
+    # poison-batch cap (reference max_retries=3, settings.rs:86-88): after
+    # this many recorded failures an epoch is skipped and marked 'poisoned'
+    # instead of wedging the stream forever. Requires a LineageLog.
+    max_retries: int = 3
 
 
 def run_ingest(
@@ -87,20 +91,36 @@ def run_ingest(
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
-        if epoch_id in cfg.fail_batches:
-            raise RuntimeError(f"injected failure at epoch {epoch_id}")
-        if batch_df.isEmpty():  # early-exit on empty (SURVEY.md F9)
-            return
-        res = apply_changes(
-            spark,
-            table,
-            batch_df,
-            batch_id=epoch_id,
-            fence_stream_id=cfg.stream_id,
-            strategy=cfg.strategy,
-            dedup=cfg.dedup,
-            compact_every=cfg.compact_every,
-        )
+        prior_failures = 0
+        if lineage is not None and cfg.max_retries is not None:
+            prior_failures = lineage.failure_count(spark, epoch_id)
+            if prior_failures >= cfg.max_retries:
+                # poison batch: cap exceeded → skip, durably marked (the
+                # reference's retry-capped resume set, ST5; unlike the
+                # reference the skip itself is recorded, hazard §4.3.5)
+                lineage.record_failure(
+                    spark, epoch_id, prior_failures, status="poisoned"
+                )
+                return
+        try:
+            if epoch_id in cfg.fail_batches:
+                raise RuntimeError(f"injected failure at epoch {epoch_id}")
+            if batch_df.isEmpty():  # early-exit on empty (SURVEY.md F9)
+                return
+            res = apply_changes(
+                spark,
+                table,
+                batch_df,
+                batch_id=epoch_id,
+                fence_stream_id=cfg.stream_id,
+                strategy=cfg.strategy,
+                dedup=cfg.dedup,
+                compact_every=cfg.compact_every,
+            )
+        except Exception:
+            if lineage is not None:
+                lineage.record_failure(spark, epoch_id, prior_failures + 1)
+            raise
         if lineage is not None and not res.skipped:
             lineage.record_batch(
                 batch_df,

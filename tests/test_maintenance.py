@@ -1,0 +1,124 @@
+"""Maintenance + robustness: poison-batch retry cap, snapshot expiry (GC),
+time travel, commit-conflict CAS."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators.merge_into import apply_changes
+from arango_etl_spark.oracle import assert_states_equal, reduce_events_pandas
+from arango_etl_spark.plans.lakehouse import CommitConflict, SnapshotTable
+from arango_etl_spark.sources.cdc_generator import GeneratorConfig
+from arango_etl_spark.streaming.lineage import LineageLog
+from arango_etl_spark.streaming.runner import IngestConfig, run_ingest
+from tests.test_merge import PAYLOAD_SCHEMA, ev, mk_events
+
+# poison test: one file per dir (epoch == file) and no cross-batch duplicate
+# deliveries, so "skip one epoch" == "exclude exactly one dir" in the oracle
+POISON_CFG = GeneratorConfig(
+    n_events=1_200, n_docs=100, n_batches=4, seed=17, dup_permille=0
+)
+
+
+def mk_table(tmp_path, name):
+    return SnapshotTable.create(
+        str(tmp_path / name), PAYLOAD_SCHEMA, key_col="doc_id", n_buckets=8
+    )
+
+
+def test_poison_batch_skipped_after_retry_cap(spark, tmp_path):
+    """A batch that fails every attempt is retried max_retries times, then
+    skipped and durably marked 'poisoned' — the stream drains the rest
+    (reference ST5 retry cap, settings.rs:86-88; unlike the reference the
+    drop is recorded, hazard §4.3.5)."""
+    from arango_etl_spark.sources.cdc_generator import generate_events
+
+    d = str(tmp_path / "events")
+    events = generate_events(spark, POISON_CFG)
+    for b in range(POISON_CFG.n_batches):
+        events.where(F.col("batch_id") == b).coalesce(1).write.parquet(
+            f"{d}/batch={b:05d}"
+        )
+    t = mk_table(tmp_path, "poison")
+    lineage = LineageLog(str(tmp_path / "lin"))
+    cfg = IngestConfig(
+        max_files_per_trigger=1, fail_batches=frozenset({1}), max_retries=2
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    attempts = 0
+    while True:
+        try:
+            run_ingest(spark, d, t, ckpt, lineage=lineage, cfg=cfg)
+            break
+        except Exception:
+            attempts += 1
+            assert attempts <= 5, "stream never recovered"
+    assert attempts == 2  # failed max_retries times, then skipped
+
+    lin = lineage.read(spark)
+    statuses = {r["status"] for r in lin.select("status").distinct().collect()}
+    assert "poisoned" in statuses and "retried" in statuses
+
+    # final state == oracle with exactly ONE batch dir excluded (the file
+    # source's epoch numbering need not match our dir numbering, so find
+    # which whole input file was skipped)
+    actual = t.read(spark).toPandas()
+    for skipped in range(POISON_CFG.n_batches):
+        applied = spark.read.parquet(
+            *[f"{d}/batch={b:05d}" for b in range(POISON_CFG.n_batches)
+              if b != skipped]
+        ).toPandas()
+        try:
+            assert_states_equal(actual, reduce_events_pandas(applied))
+            return
+        except AssertionError:
+            continue
+    raise AssertionError("final state matches no single-batch-excluded oracle")
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = mk_table(tmp_path, "gc")
+    for i in range(4):
+        apply_changes(
+            spark, t,
+            mk_events(spark, [ev("update", f"doc_{j}", 10 * i + j, [i, j])
+                              for j in range(5)]),
+            strategy="cow",
+        )
+    assert t.current_version() == 4
+    before = t.read(spark).toPandas()
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(t.data_dir)
+    )
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["expired_versions"] == 4  # v0..v3 dropped
+    assert stats["removed_files"] > 0
+    n_files_after = sum(len(files) for _, _, files in os.walk(t.data_dir))
+    assert n_files_after < n_files_before
+    # current snapshot unaffected
+    assert_states_equal(t.read(spark).toPandas(), before)
+
+
+def test_time_travel_read(spark, tmp_path):
+    t = mk_table(tmp_path, "tt")
+    apply_changes(spark, t, mk_events(spark, [ev("insert", "a", 1, [1])]))
+    apply_changes(spark, t, mk_events(spark, [ev("update", "a", 2, [2, 2])]))
+    v1, v2 = 1, 2
+    old = t.read(spark, manifest=t.manifest(v1)).collect()
+    new = t.read(spark, manifest=t.manifest(v2)).collect()
+    assert [list(r["tokens"]) for r in old] == [[1]]
+    assert [list(r["tokens"]) for r in new] == [[2, 2]]
+
+
+def test_commit_conflict_cas(spark, tmp_path):
+    """Two writers preparing against the same base version: the second
+    commit must fail the CAS (Iceberg catalog swap semantics)."""
+    t = mk_table(tmp_path, "cas")
+    base = t.current_version()
+    t.commit(new_files={}, replaced_buckets=set(), expected_version=base)
+    with pytest.raises(CommitConflict):
+        t.commit(new_files={}, replaced_buckets=set(), expected_version=base)
