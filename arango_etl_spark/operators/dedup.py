@@ -184,6 +184,62 @@ def simhash(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    bucketing (same machinery as similarity search) proposes candidates;
+    exact cosine confirms >= threshold. Never scans the cross product."""
+    from arango_etl_spark.operators.similarity import (
+        _dot,
+        _norm,
+        hyperplane_signs,
+    )
+
+    bits = hyperplane_signs(F.col(vec_col), dim, n_planes * n_tables)
+    bucketed = embeddings.withColumn("_bits", bits).select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.xxhash64(
+                    t, F.slice(F.col("_bits"), t * n_planes + 1, n_planes)
+                ),
+            )
+        ).alias("_bucket"),
+    )
+    pairs = _pairs_from_buckets(bucketed, ["_bucket"], id_col).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    a = embeddings.select(
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 def jaccard_ngram_pairs(
     docs: DataFrame,
     text_col: str = "text",

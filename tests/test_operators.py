@@ -179,3 +179,19 @@ def test_multimodal_plumbing(spark, docs):
 def test_multimodal_real_decode_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"bytes", fake=False)
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    from pyspark.sql import functions as F2
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    # plant an exact duplicate of vec_id=0 with a new id
+    dup = emb.where(F2.col("vec_id") == 0).select(
+        F2.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    base = emb.unionByName(dup)
+    pairs = dedup.embedding_near_dup_pairs(base, dim=dim, threshold=0.99)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 99999) in found
+    # near-orthogonal random vectors must not appear as near-dups
+    assert all(p == (0, 99999) or p[0] != 0 for p in found)

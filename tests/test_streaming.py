@@ -103,3 +103,15 @@ def test_manual_reapply_of_committed_epoch_is_skipped(spark, tmp_path, events_di
     v1 = t.current_version()
     res = apply_changes(spark, t, batch, batch_id=0, fence_stream_id="cdc")
     assert res.skipped and t.current_version() == v1
+
+
+def test_stream_cow_strategy_matches_oracle(spark, tmp_path, events_dir):
+    """The copy-on-write strategy through the full streaming path."""
+    t = mk_table(tmp_path, "cow_stream")
+    run_ingest(
+        spark, events_dir, t, str(tmp_path / "ckpt"),
+        cfg=IngestConfig(strategy="cow", max_files_per_trigger=3),
+    )
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
