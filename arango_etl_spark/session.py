@@ -22,11 +22,18 @@ def get_spark(
     ``cores`` pins ``local[N]`` (used by the scaling bench to evidence the
     N vs 4N criterion); default is ``local[*]``.
     """
-    if cores is None:
+    # Respect a cluster manager chosen by spark-submit (--master yarn/k8s):
+    # only force a local master when none was provided or cores was pinned.
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().get("spark.master", None)
+    if cores is not None:
+        master = f"local[{cores}]"
+    elif submitted_master:
+        master = submitted_master
+    else:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cores_env}]" if cores_env else "local[*]"
-    else:
-        master = f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

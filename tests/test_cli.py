@@ -3,6 +3,7 @@ subprocesses (history bounded replay, rehydrate by day, current drain)."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
@@ -66,5 +67,40 @@ def test_cli_rehydrate_day_subset(spark, events_dir, tmp_path):
     t = SnapshotTable(table_dir)
     # all generated events are on 2024-01-01 (seq_no seconds past midnight)
     actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+
+def test_spark_submit_pyfiles_packaging(spark, events_dir, tmp_path):
+    """The north-rule submission path: package engine.zip, run the job via
+    spark-submit --py-files from a cwd OUTSIDE the repo (so the import can
+    only resolve through the zip)."""
+    import shutil
+
+    if shutil.which("spark-submit") is None and not os.path.exists(
+        "/opt/spark/bin/spark-submit"
+    ):
+        pytest.skip("spark-submit not available")
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+    zip_path = str(tmp_path / "engine.zip")
+    out = subprocess.run(
+        ["bash", "/root/repo/scripts/package.sh", zip_path],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    table_dir = str(tmp_path / "tab")
+    out = subprocess.run(
+        [
+            submit, "--master", "local[4]", "--py-files", zip_path,
+            "/root/repo/scripts/job.py",
+            "--events", events_dir, "--table", table_dir,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "current", "--drain",
+        ],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    actual = SnapshotTable(table_dir).read(spark).toPandas()
     expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
     assert_states_equal(actual, expected)
