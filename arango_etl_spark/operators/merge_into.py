@@ -17,7 +17,8 @@ Two strategies behind one call:
 - ``strategy="mor"`` (merge-on-read, Iceberg MoR analogue — DEFAULT for
   sustained ingest): append the deduped batch as per-bucket delta files;
   no target read at all. Write cost ∝ O(batch). Readers LWW-reduce;
-  ``compact()`` (auto every ``compact_every`` commits) folds deltas back
+  ``compact()`` (auto once avg delta files/bucket > ``compact_every``,
+  0 = never) folds deltas back
   to one row per key.
 
 Cross-batch out-of-order correctness: stored rows keep their winning
@@ -192,12 +193,13 @@ def apply_changes(
         expected_version=manifest["version"],
     )
 
-    if (
-        strategy == "mor"
-        and compact_every
-        and new_manifest["version"] % compact_every == 0
-    ):
-        new_manifest = compact(spark, table)
+    if strategy == "mor" and compact_every:
+        # compact when the average delta-file depth per bucket exceeds the
+        # threshold — bounds merge-on-read amplification by actual file
+        # count, not commit count (a tiny batch shouldn't hasten compaction)
+        n_files = sum(len(fs) for fs in new_manifest["files"].values())
+        if n_files > compact_every * new_manifest["n_buckets"]:
+            new_manifest = compact(spark, table)
 
     return MergeResult(
         version=new_manifest["version"],

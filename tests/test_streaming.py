@@ -115,3 +115,21 @@ def test_stream_cow_strategy_matches_oracle(spark, tmp_path, events_dir):
     actual = t.read(spark).toPandas()
     expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
     assert_states_equal(actual, expected)
+
+
+def test_stream_processing_time_trigger(spark, tmp_path, events_dir):
+    """The continuous `current` mode path: processing-time trigger, drain
+    via processAllAvailable, graceful stop, state matches oracle (ST1/ST7)."""
+    t = mk_table(tmp_path, "proc_time")
+    q = run_ingest(
+        spark, events_dir, t, str(tmp_path / "ckpt"),
+        cfg=IngestConfig(max_files_per_trigger=4),
+        available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
