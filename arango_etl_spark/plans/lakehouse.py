@@ -176,6 +176,7 @@ class SnapshotTable:
         df: DataFrame,
         bucket_col: str = "_bucket",
         sort_within: bool = True,
+        salt_n: int | None = None,
     ) -> tuple[str, dict[str, list[str]]]:
         """Write df (with bucket_col) as one parquet dir partitioned by
         bucket; return (commit_dir_rel, files-by-bucket).
@@ -195,7 +196,18 @@ class SnapshotTable:
             df.sparkSession.sparkContext.defaultParallelism,
             self.manifest()["n_buckets"] // 4,
         )
-        writer = df.repartition(n_parts, F.col(bucket_col))
+        if salt_n:
+            # hot-bucket write skew: spread one bucket over salt_n writer
+            # tasks (north rule salting; partitionBy still groups the
+            # files per bucket, there are just more of them)
+            from arango_etl_spark.operators.salting import salted_repartition
+
+            writer = salted_repartition(
+                df, bucket_col, n_parts, salt_n=salt_n,
+                entropy_cols=[self.manifest()["key_col"]],
+            )
+        else:
+            writer = df.repartition(n_parts, F.col(bucket_col))
         if sort_within:
             writer = writer.sortWithinPartitions(bucket_col, self.manifest()["key_col"])
         writer.write.partitionBy(bucket_col).mode("error").parquet(out)
