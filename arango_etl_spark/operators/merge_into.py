@@ -168,8 +168,17 @@ def apply_changes(
     if strategy == "mor":
         new_files, replaced = _merge_mor(table, src)
     elif strategy == "cow":
+        # touched buckets from the RAW events (bucket = f(doc_id), so raw
+        # and deduped agree) — avoids re-running the dedup pipeline just
+        # to list buckets
+        touched = sorted(
+            r["_b"]
+            for r in events.select(
+                table.bucket_expr(F.col(key_col), manifest).alias("_b")
+            ).distinct().collect()
+        )
         new_files, replaced = _merge_cow(
-            spark, table, read_manifest, src, key_col, payload
+            spark, table, read_manifest, src, key_col, payload, touched
         )
     else:
         raise ValueError(f"unknown merge strategy {strategy!r}")
@@ -230,15 +239,13 @@ def _merge_cow(
     src: DataFrame,
     key_col: str,
     payload: list[str],
+    touched: list[int],
 ) -> tuple[dict[str, list[str]], set[int]]:
     """Copy-on-write MERGE: bucket-pruned full-outer join, LWW winner per
     row, rewrite only touched buckets (Iceberg CoW MERGE INTO analogue,
     SURVEY.md J3 / /root/reference/src/handler/arangodb.rs:220,235,302).
+    `touched` is bounded metadata (≤ n_buckets ints), not data.
     """
-    # touched buckets: bounded metadata (≤ n_buckets ints), not data
-    touched = sorted(
-        r["_bucket"] for r in src.select("_bucket").distinct().collect()
-    )
     target = table.read_stored(spark, buckets=touched, manifest=manifest)
 
     stored_cols = [c for c in src.columns if c != "_bucket"]
