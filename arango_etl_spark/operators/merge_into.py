@@ -168,14 +168,12 @@ def apply_changes(
     if strategy == "mor":
         new_files, replaced = _merge_mor(table, src)
     elif strategy == "cow":
-        # touched buckets from the RAW events (bucket = f(doc_id), so raw
-        # and deduped agree) — avoids re-running the dedup pipeline just
-        # to list buckets
+        # touched buckets listed from the deduped source, not the raw
+        # batch: inside foreachBatch an extra action on the streaming
+        # batch DataFrame can wedge the micro-batch thread (observed
+        # hang), and the deduped plan re-executes deterministically
         touched = sorted(
-            r["_b"]
-            for r in events.select(
-                table.bucket_expr(F.col(key_col), manifest).alias("_b")
-            ).distinct().collect()
+            r["_bucket"] for r in src.select("_bucket").distinct().collect()
         )
         new_files, replaced = _merge_cow(
             spark, table, read_manifest, src, key_col, payload, touched
