@@ -838,6 +838,54 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 30. cursor_by_day — grouped min/max cursors (SURVEY.md A1/A2 per
+# partition; the reference's resume-cursor fold applied per event-time day)
+# --------------------------------------------------------------------------
+_CURSOR_DAY_SQL = """
+SELECT CAST(ts AS DATE) AS day, max(ts) AS max_ts, min(ts) AS min_ts,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+@_register("cursor_by_day", _CURSOR_DAY_SQL)
+def cursor_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("ts").alias("max_ts"),
+        F.min("ts").alias("min_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 31. unknown_coalesce_keys — null-tolerant key building (SURVEY.md T9:
+# edge key uses 'unknown' when a location is absent,
+# /root/reference/src/document/edge.rs:36-43)
+# --------------------------------------------------------------------------
+_UNKNOWN_SQL = """
+SELECT doc_id,
+       'doc_' || coalesce(nullif(lang, 'en'), 'unknown')
+           || '_' || source AS group_key
+FROM documents
+"""
+
+
+@_register("unknown_coalesce_keys", _UNKNOWN_SQL)
+def unknown_coalesce_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc_"),
+            F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("unknown")),
+            F.lit("_"),
+            F.col("source"),
+        ).alias("group_key"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
