@@ -886,6 +886,54 @@ def unknown_coalesce_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 32. asof_join_views — point-in-time join (beyond-reference operator the
+# guide flags as missing from Spark): each purchase event gets the latest
+# at-or-before view's value for the same user. Implemented as the
+# union + last(ignorenulls) window composition (operators/asof.py); the
+# oracle states the identical window in DuckDB SQL.
+# --------------------------------------------------------------------------
+_ASOF_SQL = """
+WITH u AS (
+    SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS quote, 1 AS is_left
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, event_id, value, 0 FROM events
+    WHERE event_type = 'view'
+), w AS (
+    SELECT *, last_value(quote IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id, is_left
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS q
+    FROM u
+)
+SELECT user_id, event_id, round(q, 6) AS view_value_asof
+FROM w WHERE is_left = 1
+"""
+
+
+@_register("asof_join_views", _ASOF_SQL)
+def asof_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("value").alias("quote")
+    )
+    joined = asof_join(
+        purchases, views,
+        key_cols=["user_id"], ts_col="ts",
+        value_cols=["quote"], tiebreak_col="event_id",
+    )
+    return joined.select(
+        "user_id", "event_id",
+        F.round(F.col("quote_asof"), 6).alias("view_value_asof"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
