@@ -35,6 +35,12 @@ def asof_join(
     l_tag = left.withColumn("_is_left", F.lit(1))
     for v in value_cols:
         l_tag = l_tag.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
+    if tiebreak_col and tiebreak_col not in l_tag.columns:
+        # one-sided tiebreak (right only): null-fill the left side; nulls
+        # sort LAST below so same-ts right rows stay visible (inclusive)
+        l_tag = l_tag.withColumn(
+            tiebreak_col, F.lit(None).cast(right.schema[tiebreak_col].dataType)
+        )
     r_tag = right.select(
         *key_cols, ts_col,
         *( [tiebreak_col] if tiebreak_col else [] ),
@@ -47,7 +53,7 @@ def asof_join(
 
     order: list[Column] = [F.col(ts_col)]
     if tiebreak_col:
-        order.append(F.col(tiebreak_col))
+        order.append(F.col(tiebreak_col).asc_nulls_last())
     # right rows sort before left rows at identical (ts, tiebreak):
     # inclusive as-of
     order.append(F.col("_is_left"))
