@@ -61,7 +61,7 @@ WITH ev AS (
         PARTITION BY doc_id ORDER BY seq_no DESC
     ) AS rn FROM ev
 )
-SELECT doc_id, tokens, n_tok, source
+SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
@@ -87,7 +87,15 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("op") != "delete"))
-        .select(F.col("doc_key").alias("doc_id"), "tokens", "n_tok", "source")
+        .select(
+            F.col("doc_key").alias("doc_id"),
+            # driver's hash compare canonicalizes in pandas, which cannot
+            # factorize list cells → emit the array in CSV form (identical
+            # array_to_string on the DuckDB side); n_tok keeps the length
+            F.array_join("tokens", ",").alias("tokens_csv"),
+            "n_tok",
+            "source",
+        )
     )
 
 
@@ -209,7 +217,8 @@ def retry_cap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SET_SQL = """
 SELECT user_id,
-       list_sort(list_distinct(array_agg(event_type))) AS event_types,
+       array_to_string(list_sort(list_distinct(array_agg(event_type))), ',')
+           AS event_types_csv,
        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
 FROM events GROUP BY user_id
 """
@@ -217,11 +226,14 @@ FROM events GROUP BY user_id
 
 @_register("set_accumulation", _SET_SQL)
 def set_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array output serialized to CSV — the driver's pandas canonicalizer
+    # can't hash list cells (see cdc_final_state)
     return (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+            .alias("event_types_csv"),
             F.countDistinct("event_type").alias("n_types"),
         )
     )
@@ -586,10 +598,61 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 21. minhash_lsh_candidates — near-dup candidate pairs via MinHash+LSH
-# (training-data op). NOT SQL-expressible portably (relies on xxhash64) →
-# rows-only check: no oracle entry.
+# (training-data op). Round 2: the shingle hash is the engine-portable
+# md5-prefix affine family (operators/dedup.py:portable_hash60), so the
+# full pipeline — shingling, 32 minhashes, 8-band LSH, bucket-capped pair
+# generation — has an exact DuckDB oracle.
 # --------------------------------------------------------------------------
-@_register("minhash_lsh_candidates", None)
+_MINHASH_SQL = r"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, greatest(len(w) - 3, 0)),
+                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        FROM ws)
+    WHERE shingle <> ''
+), hm AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+               % 9007199254740881 AS h
+    FROM sh
+), kh AS (
+    SELECT doc_id, k,
+           min(((2*k + 3) * h + (k*1000003 + 12289)) % 9007199254740881) AS mh
+    FROM hm CROSS JOIN generate_series(0, 31) t(k)
+    GROUP BY doc_id, k
+), sig AS (
+    SELECT doc_id, array_agg(mh ORDER BY k) AS s FROM kh GROUP BY doc_id
+), bands AS (
+    SELECT doc_id, b,
+           CAST(('0x' || substr(md5(
+               'b|' || CAST(b AS VARCHAR) || '|' ||
+               array_to_string(s[b*4+1 : b*4+4], ',')), 1, 15)) AS BIGINT)
+               AS band_hash
+    FROM sig CROSS JOIN generate_series(0, 7) t(b)
+), sized AS (
+    SELECT b, band_hash FROM bands GROUP BY b, band_hash
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+), mem AS (
+    SELECT bands.doc_id, bands.b, bands.band_hash
+    FROM bands JOIN sized USING (b, band_hash)
+)
+SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM mem m1
+JOIN mem m2 ON m1.b = m2.b AND m1.band_hash = m2.band_hash
+           AND m1.doc_id < m2.doc_id
+GROUP BY m1.doc_id, m2.doc_id
+"""
+
+
+@_register("minhash_lsh_candidates", _MINHASH_SQL)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arango_etl_spark.operators.dedup import minhash_lsh_pairs
 
@@ -600,9 +663,37 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 22. simhash_docs — 64-bit SimHash per document (training-data op).
-# xxhash64-based → rows-only check.
+# Round 2: word hash = two 32-bit halves of md5 → exact DuckDB oracle.
 # --------------------------------------------------------------------------
-@_register("simhash_docs", None)
+_SIMHASH_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h_lo,
+           CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS h_hi
+    FROM w
+), votes AS (
+    SELECT doc_id, i,
+           CAST(sum(CASE WHEN
+                (((CASE WHEN i < 32 THEN h_lo ELSE h_hi END) >> (i % 32)) & 1) = 1
+                THEN 1 ELSE -1 END) AS BIGINT) AS v
+    FROM h CROSS JOIN generate_series(0, 63) t(i)
+    GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN i < 63 AND v > 0
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+           AS simhash63,
+       max(CASE WHEN i = 63 THEN v END) > 0 AS sign_bit
+FROM votes GROUP BY doc_id
+"""
+
+
+@_register("simhash_docs", _SIMHASH_SQL)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arango_etl_spark.operators.dedup import simhash
 

@@ -50,7 +50,7 @@ def _norm_rows(cols, rows):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
-    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert df.columns == ["doc_id", "tokens_csv", "n_tok", "source"]
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
