@@ -22,6 +22,13 @@ def has_pushed_filters(df: DataFrame) -> bool:
     return "PushedFilters: [" in p and "PushedFilters: []" not in p
 
 
+def has_partition_filters(df: DataFrame) -> bool:
+    """True when the parquet scan prunes hive partitions (PartitionFilters
+    non-empty) — the scan never lists, let alone reads, other partitions."""
+    p = formatted_plan(df)
+    return "PartitionFilters: [" in p and "PartitionFilters: []" not in p
+
+
 def pruned_columns(df: DataFrame) -> str:
     """The ReadSchema the parquet scan actually requests."""
     p = formatted_plan(df)

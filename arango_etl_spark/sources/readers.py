@@ -4,31 +4,72 @@ S4/F8: log-and-skip undecodable records, count them,
 /root/reference/src/handler/arangodb_handler.rs:288-314).
 
 Spark-native equivalent: PERMISSIVE mode parks bad records in
-`_corrupt_record`; we split the stream into (good, bad_count) instead of
-failing the batch — a poison *record* must not poison its file.
+`_corrupt_record`; we split the stream into (good, corrupt_count) instead
+of failing the batch — a poison *record* must not poison its file.
+
+The corrupt count rides the SINGLE real pass via ``df.observe()`` (an
+Observation on the pre-filter frame): when the caller materializes the
+clean stream (the merge write), the count is collected for free. No
+``.cache()`` of the input — at 100 TB caching the whole dataset to count
+bad rows would thrash eviction before the pipeline starts (round-1
+VERDICT #4). Reading ``corrupt_count`` BEFORE any action triggers one
+counting pass as a convenience fallback.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from arango_etl_spark.streaming.runner import EVENT_SCHEMA
 
 
-@dataclass
 class ReadResult:
-    events: DataFrame
-    corrupt_count: int
+    """Clean event stream + lazily-observed corrupt-record count."""
+
+    def __init__(self, events: DataFrame, observation: Observation | None = None):
+        self.events = events
+        self._obs = observation
+        self._count: int | None = 0 if observation is None else None
+
+    @property
+    def corrupt_count(self) -> int:
+        if self._count is None:
+            try:
+                # non-blocking probe (Spark 4.1 getOrEmpty throws on the
+                # schemaless placeholder row while unpopulated)
+                populated = not self._obs._jo.getOrEmpty().isEmpty()
+            except Exception:
+                populated = False
+            if not populated:
+                # no action has run yet — trigger the one pass ourselves
+                self.events.count()
+            self._count = int(self._obs.get["corrupt"])
+        return self._count
 
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
     return T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
+
+
+def _split(raw: DataFrame) -> tuple[DataFrame, Observation]:
+    """Attach the corrupt-count observation, return the clean stream."""
+    obs = Observation()
+    first_data_col = raw.columns[0]
+    observed = raw.observe(
+        obs,
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("corrupt"),
+        # also reference a real data column: Spark forbids JSON/CSV scans
+        # whose only referenced column is the internal corrupt-record column
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which the pruned fallback
+        # count() would otherwise be
+        F.count(F.col(first_data_col)).alias("_seen_first_col"),
+    )
+    good = observed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return good, obs
 
 
 def read_events_json(
@@ -45,12 +86,8 @@ def read_events_json(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
-    # one pass for the count (cheap: corrupt rows only), one clean stream;
-    # cache avoids re-reading if the caller materializes both
-    raw = raw.cache()
-    corrupt = raw.where(F.col("_corrupt_record").isNotNull()).count()
-    good = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return ReadResult(events=good, corrupt_count=corrupt)
+    good, obs = _split(raw)
+    return ReadResult(events=good, observation=obs)
 
 
 def read_events_csv(
@@ -74,14 +111,9 @@ def read_events_csv(
         .option("header", "true")
         .csv(path)
     )
-    raw = raw.cache()
-    corrupt = raw.where(F.col("_corrupt_record").isNotNull()).count()
-    good = (
-        raw.where(F.col("_corrupt_record").isNull())
-        .drop("_corrupt_record")
-        .withColumn("tokens", F.from_json("tokens", "array<int>"))
-    )
-    return ReadResult(events=good, corrupt_count=corrupt)
+    good, obs = _split(raw)
+    good = good.withColumn("tokens", F.from_json("tokens", "array<int>"))
+    return ReadResult(events=good, observation=obs)
 
 
 def read_events_parquet(
@@ -93,4 +125,4 @@ def read_events_parquet(
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
-    return ReadResult(events=df, corrupt_count=0)
+    return ReadResult(events=df)
