@@ -79,7 +79,8 @@ def cmd_history(spark, args) -> None:
             spark, table,
             events.where(F.col(part_col) == b).drop("batch"),
             batch_id=b, fence_stream_id=args.stream_id,
-            strategy=args.strategy,
+            strategy=args.strategy, dedup=args.dedup,
+            compact_every=args.compact_every,
         )
     print(f"history replay done: {len(batch_ids)} batches, "
           f"table v{table.current_version()}")
@@ -100,6 +101,7 @@ def cmd_rehydrate(spark, args) -> None:
     apply_changes(
         spark, table, events,
         batch_id=None, fence_stream_id=None, strategy=args.strategy,
+        dedup=args.dedup, compact_every=args.compact_every,
     )
     print(f"rehydrate {args.date} done: table v{table.current_version()}")
 
@@ -109,17 +111,42 @@ def cmd_current(spark, args) -> None:
     MERGE, checkpoint-resumable, batch-id fenced."""
     table = _table(args)
     lineage = LineageLog(args.lineage) if args.lineage else None
+    schema = _widened_schema(args.extra_columns)
     q = run_ingest(
         spark, args.events, table, args.checkpoint,
         lineage=lineage,
         cfg=IngestConfig(
             stream_id=args.stream_id, strategy=args.strategy,
+            dedup=args.dedup, compact_every=args.compact_every,
             max_files_per_trigger=args.max_files_per_trigger,
+            trigger_interval_secs=args.trigger_interval,
+            max_retries=args.max_retries,
         ),
+        event_schema=schema,
         available_now=args.drain,
     )
     if q is not None:
         q.awaitTermination()
+
+
+def _widened_schema(extra_columns: str | None):
+    """`--extra-columns "quality_score:double,lang:string"` → EVENT_SCHEMA
+    widened with the named nullable columns (the superset-schema pattern:
+    the streaming read schema is PINNED, so additive evolution in later
+    files must be declared up front)."""
+    if not extra_columns:
+        return None
+    from pyspark.sql import types as T
+
+    fields = list(EVENT_SCHEMA.fields)  # copy — StructType.add mutates
+    for spec in extra_columns.split(","):
+        name, _, dtype = spec.strip().partition(":")
+        if not name or not dtype:
+            raise SystemExit(f"bad --extra-columns entry: {spec!r}")
+        fields.append(
+            T.StructField(name, T._parse_datatype_string(dtype), True)
+        )
+    return T.StructType(fields)
 
 
 def main() -> None:
@@ -130,6 +157,13 @@ def main() -> None:
     p.add_argument("--lineage", default=None)
     p.add_argument("--stream-id", default="cdc")
     p.add_argument("--strategy", default="mor", choices=["mor", "cow"])
+    p.add_argument("--dedup", default="max_by",
+                   choices=["max_by", "window", "salted_window",
+                            "applyinpandas"],
+                   help="intra-batch dedup strategy")
+    p.add_argument("--compact-every", type=int, default=8,
+                   help="MoR: compact when avg delta files/bucket exceeds "
+                        "this (0 = never)")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--cores", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -145,6 +179,13 @@ def main() -> None:
     c.add_argument("--drain", action="store_true",
                    help="availableNow: drain backlog then stop (replay mode)")
     c.add_argument("--max-files-per-trigger", type=int, default=8)
+    c.add_argument("--trigger-interval", type=int, default=10,
+                   help="continuous-mode micro-batch cadence (seconds)")
+    c.add_argument("--max-retries", type=int, default=3,
+                   help="poison-batch cap (skip after N recorded failures)")
+    c.add_argument("--extra-columns", default=None,
+                   help="comma list of name:type — widen the read schema "
+                        "for additive evolution (superset-schema pattern)")
 
     args = p.parse_args()
     if args.cmd == "current" and not args.checkpoint:

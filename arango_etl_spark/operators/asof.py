@@ -32,10 +32,17 @@ def asof_join(
     same ts as a left row are visible to it when their tiebreak sorts
     earlier — inclusive as-of semantics).
     """
+    clobbered = [v for v in value_cols if v in left.columns]
+    if clobbered:
+        raise ValueError(
+            f"value_cols {clobbered} already exist on the left side; "
+            f"rename them or choose a different suffix mapping"
+        )
     l_tag = left.withColumn("_is_left", F.lit(1))
     for v in value_cols:
         l_tag = l_tag.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
-    if tiebreak_col and tiebreak_col not in l_tag.columns:
+    synthesized_tiebreak = bool(tiebreak_col) and tiebreak_col not in left.columns
+    if synthesized_tiebreak:
         # one-sided tiebreak (right only): null-fill the left side; nulls
         # sort LAST below so same-ts right rows stay visible (inclusive)
         l_tag = l_tag.withColumn(
@@ -67,4 +74,9 @@ def asof_join(
         out = out.withColumn(
             f"{v}{suffix}", F.last(v, ignorenulls=True).over(w)
         )
-    return out.where(F.col("_is_left") == 1).drop("_is_left", *value_cols)
+    drop_cols = ["_is_left", *value_cols]
+    if synthesized_tiebreak:
+        # the all-null tiebreak column was synthesized for ordering only —
+        # it must not leak into the output schema
+        drop_cols.append(tiebreak_col)
+    return out.where(F.col("_is_left") == 1).drop(*drop_cols)

@@ -1,0 +1,148 @@
+"""Geo cell enrichment — the engine's counterpart to the reference's H3
+location derivations (SURVEY.md T5/T6, /root/reference/src/document/
+loc_data.rs:31-48 lat/lng/geojson from a cell, :76-99 res-5 parent).
+
+DECISION RECORD (round-2): the public ``h3`` package is not installed in
+this image, so the engine ships a deterministic stand-in cell scheme with
+the same API shape as the reference's loc_data — cell id, cell-center
+lat/lng, GeoJSON polygon of the cell boundary, and a coarser-resolution
+parent cell:
+
+- resolution ``r`` divides the world into a 2^(r+1) × 2^r lng×lat grid
+  (z-order-style quad cells instead of H3 hexagons);
+- ``cell = "q{r}_{x}_{y}"`` where x/y are the clamped grid indices;
+- the parent at resolution ``p < r`` is the cell whose indices are the
+  child's shifted right by (r - p) — exactly H3's cell_to_parent contract;
+- the GeoJSON is the cell's bounding box as a closed Polygon ring.
+
+Every derivation is pure built-in SQL (floor/shift/concat — no UDF), so
+it runs JVM-side at 100 TB and has an exact DuckDB oracle
+(parity.geo_cell_enrich). Swapping in real H3 later is a drop-in: same
+columns, a vectorized ``h3.latlng_to_cell`` pandas UDF instead of the
+grid arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _grid_xy(lat: Column, lng: Column, res: int) -> tuple[Column, Column]:
+    nx, ny = 1 << (res + 1), 1 << res
+    x = F.floor(((lng + F.lit(180.0)) / F.lit(360.0)) * F.lit(float(nx)))
+    y = F.floor(((lat + F.lit(90.0)) / F.lit(180.0)) * F.lit(float(ny)))
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(nx - 1)).cast("long")
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(ny - 1)).cast("long")
+    return x, y
+
+
+def _cell_name(res: int, x: Column, y: Column) -> Column:
+    return F.concat(
+        F.lit(f"q{res}_"), x.cast("string"), F.lit("_"), y.cast("string")
+    )
+
+
+def _fmt(v: Column) -> Column:
+    """Coordinate → fixed-scale decimal string (identical in DuckDB).
+
+    Scale 10 because cell edges are k·360/2^(res+1): binary-exact doubles
+    with ≤10 decimal digits — DECIMAL(17,10) represents them EXACTLY, so
+    no rounding happens and the engines' different tie-breaking modes
+    (Spark HALF_UP vs DuckDB HALF_EVEN) can never disagree."""
+    return v.cast("decimal(17,10)").cast("string")
+
+
+def geo_enrich(
+    df: DataFrame,
+    lat_col: str,
+    lng_col: str,
+    res: int = 12,
+    parent_res: int = 5,
+) -> DataFrame:
+    """Add cell / cell_lat / cell_lng / parent_cell / geojson columns.
+
+    Mirrors the reference's LocData::new + parent chain
+    (loc_data.rs:31-48, 76-99): point → cell → center lat/lng → boundary
+    polygon → coarser parent cell.
+    """
+    if not (0 <= parent_res < res <= 30):
+        raise ValueError("need 0 <= parent_res < res <= 30")
+    lat, lng = F.col(lat_col), F.col(lng_col)
+    nx = 1 << (res + 1)
+    ny = 1 << res
+    x, y = _grid_xy(lat, lng, res)
+    shift = res - parent_res
+    px, py = F.shiftright(x, shift), F.shiftright(y, shift)
+
+    cw, ch = F.lit(360.0 / nx), F.lit(180.0 / ny)  # cell width/height (deg)
+    w = x.cast("double") * cw - F.lit(180.0)
+    s = y.cast("double") * ch - F.lit(90.0)
+    e = w + cw
+    n = s + ch
+    clng = (x.cast("double") + F.lit(0.5)) * cw - F.lit(180.0)
+    clat = (y.cast("double") + F.lit(0.5)) * ch - F.lit(90.0)
+
+    ring = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        _fmt(w), F.lit(","), _fmt(s), F.lit("],["),
+        _fmt(e), F.lit(","), _fmt(s), F.lit("],["),
+        _fmt(e), F.lit(","), _fmt(n), F.lit("],["),
+        _fmt(w), F.lit(","), _fmt(n), F.lit("],["),
+        _fmt(w), F.lit(","), _fmt(s), F.lit("]]]}"),
+    )
+    return df.select(
+        "*",
+        _cell_name(res, x, y).alias("cell"),
+        F.round(clat, 6).alias("cell_lat"),
+        F.round(clng, 6).alias("cell_lng"),
+        _cell_name(parent_res, px, py).alias("parent_cell"),
+        ring.alias("geojson"),
+    )
+
+
+def geo_enrich_oracle_sql(
+    source_cte: str, lat: str, lng: str, res: int = 12, parent_res: int = 5,
+    keep: str = "user_id",
+) -> str:
+    """DuckDB query producing the identical five columns over ``source_cte``
+    (the oracle twin of geo_enrich — operation order matches term for term,
+    and float literals use Python repr so both engines parse the same
+    binary-exact double)."""
+    nx, ny = 1 << (res + 1), 1 << res
+    shift = res - parent_res
+    cw, ch = repr(360.0 / nx), repr(180.0 / ny)
+
+    def fmt(v: str) -> str:
+        return f"CAST(CAST({v} AS DECIMAL(17,10)) AS VARCHAR)"
+
+    w = f"(CAST(x AS DOUBLE) * {cw} - 180.0)"
+    s = f"(CAST(y AS DOUBLE) * {ch} - 90.0)"
+    e = f"({w} + {cw})"
+    n = f"({s} + {ch})"
+    ring = " || ".join([
+        "'{\"type\":\"Polygon\",\"coordinates\":[[['",
+        fmt(w), "','", fmt(s), "'],['",
+        fmt(e), "','", fmt(s), "'],['",
+        fmt(e), "','", fmt(n), "'],['",
+        fmt(w), "','", fmt(n), "'],['",
+        fmt(w), "','", fmt(s), "']]]}'",
+    ])
+    return f"""
+WITH src AS ({source_cte}), xy AS (
+    SELECT {keep},
+           least(greatest(CAST(floor((({lng} + 180.0) / 360.0) * {nx}.0)
+                          AS BIGINT), 0), {nx - 1}) AS x,
+           least(greatest(CAST(floor((({lat} + 90.0) / 180.0) * {ny}.0)
+                          AS BIGINT), 0), {ny - 1}) AS y
+    FROM src
+)
+SELECT {keep},
+       'q{res}_' || CAST(x AS VARCHAR) || '_' || CAST(y AS VARCHAR) AS cell,
+       round((CAST(y AS DOUBLE) + 0.5) * {ch} - 90.0, 6) AS cell_lat,
+       round((CAST(x AS DOUBLE) + 0.5) * {cw} - 180.0, 6) AS cell_lng,
+       'q{parent_res}_' || CAST(x >> {shift} AS VARCHAR) || '_'
+           || CAST(y >> {shift} AS VARCHAR) AS parent_cell,
+       {ring} AS geojson
+FROM xy
+"""

@@ -116,6 +116,7 @@ def apply_changes(
     events: DataFrame,
     batch_id: int | None = None,
     fence_stream_id: str | None = None,
+    fence_run_id: str | None = None,
     strategy: str = "mor",
     dedup: str = "max_by",
     compact_every: int = 8,
@@ -126,10 +127,17 @@ def apply_changes(
     key_col = manifest["key_col"]
 
     # ---- fence check (O(1): one manifest read, no data touched —
-    # replaces the reference's done-files anti-join scan, SURVEY.md F1)
+    # replaces the reference's done-files anti-join scan, SURVEY.md F1).
+    # The fence only applies within one checkpoint lineage: epoch ids
+    # restart at 0 after checkpoint loss, so comparing batch_ids across
+    # lineages would silently drop new data landing in fenced epochs.
+    # fence_run_id identifies the lineage (the runner stores it INSIDE the
+    # checkpoint dir, so deleting the checkpoint rotates it); on mismatch
+    # the batch is re-applied, which is safe — the merge is LWW-idempotent.
     if fence_stream_id is not None and batch_id is not None:
         last = table.last_batch_id(fence_stream_id)
-        if last is not None and batch_id <= last:
+        stored_run = manifest["summary"].get(f"fence_run.{fence_stream_id}")
+        if last is not None and batch_id <= last and stored_run == fence_run_id:
             return MergeResult(version=manifest["version"], skipped=True)
 
     evolved_schema, new_cols = _evolve_schema(table, events, key_col)
@@ -184,6 +192,9 @@ def apply_changes(
     summary: dict = dict(extra_summary or {})
     if fence_stream_id is not None and batch_id is not None:
         summary[f"fence.{fence_stream_id}"] = int(batch_id)
+        # always (re)write the run id — commit() merges summaries forward,
+        # and a stale lineage id next to a fresh fence could wrongly skip
+        summary[f"fence_run.{fence_stream_id}"] = fence_run_id
     metrics: dict[str, float] = {}
     if obs is not None:
         metrics = obs.get

@@ -1,16 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries ship in this
-container): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case it produces a deterministic fake feature
-vector from the bytes — so the Spark-side plumbing (schema, partitioning,
-UDF signature, Arrow batch shape) is real and tested end-to-end, and
-swapping in a real decoder is a one-function change.
+Two tiers (round-2 VERDICT #10):
+
+- AUDIO is REAL: ``synthesize_wav`` writes genuine RIFF/WAV containers
+  (stdlib ``wave``) and ``decode_wav_features`` parses them back —
+  an actual binary media decode running inside mapInPandas, with a
+  deterministic synthesis so the whole path has an exact DuckDB oracle
+  (parity.wav_features).
+- IMAGE/VIDEO decode remains STUBBED (no image libs ship in this
+  container): ``decode_image_stub`` raises NotImplementedError unless
+  ``fake=True``, keeping the Spark-side plumbing (schema, partitioning,
+  UDF signature, Arrow batch shape) real and tested end-to-end.
 """
 
 from __future__ import annotations
 
+import io
+import math
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,3 +87,82 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+# ------------------------------------------------------------------ audio
+WAV_MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, sample_rate int"
+)
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_frames int, sample_rate int, n_channels int, "
+    "sample_width int, mean_amp double, rms double"
+)
+
+
+def synthesize_wav(docs: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic 8-bit mono PCM WAV per doc (real RIFF containers via
+    the stdlib ``wave`` writer): n = 64 + doc_id % 64 samples,
+    sample[i] = (doc_id*31 + i*7) % 256. The formula is mirrored in the
+    DuckDB oracle so the decode path below is value-checked end-to-end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                frames = bytes((d * 31 + i * 7) % 256 for i in range(n))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(sample_rate)
+                    w.writeframes(frames)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "sample_rate": sample_rate,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=WAV_MEDIA_SCHEMA)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each RIFF/WAV payload (stdlib ``wave``),
+    read the PCM frames, emit container metadata + amplitude features.
+    Arrow-batched mapInPandas — partition-parallel, no driver collect;
+    per-payload Python is inherent to binary decoding (the batch transfer
+    is vectorized, the codec is not)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "sample_rate", "n_channels",
+                    "sample_width", "mean_amp", "rms",
+                )
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p))) as w:
+                    nf = w.getnframes()
+                    out["sample_rate"].append(w.getframerate())
+                    out["n_channels"].append(w.getnchannels())
+                    out["sample_width"].append(w.getsampwidth())
+                    data = w.readframes(nf)
+                out["doc_id"].append(int(d))
+                out["n_frames"].append(nf)
+                if data:
+                    out["mean_amp"].append(sum(data) / len(data))
+                    out["rms"].append(
+                        math.sqrt(sum(b * b for b in data) / len(data))
+                    )
+                else:
+                    out["mean_amp"].append(0.0)
+                    out["rms"].append(0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

@@ -1025,6 +1025,80 @@ def asof_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 33. geo_cell_enrich — T5/T6 geo enrichment: point → cell id → center
+# lat/lng → GeoJSON boundary polygon → res-5 parent cell
+# (/root/reference/src/document/loc_data.rs:31-48,76-99; deterministic
+# stand-in grid for H3 — decision record in operators/geo.py docstring).
+# lat/lng synthesized from user_id like haversine_distance.
+# --------------------------------------------------------------------------
+_GEO_PTS_SQL = """
+SELECT DISTINCT user_id,
+       CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25  AS lat,
+       CAST((user_id * 7) % 350 AS DOUBLE) - 175.0 + 0.25 AS lng
+FROM events
+"""
+
+
+def _geo_sql() -> str:
+    from arango_etl_spark.operators.geo import geo_enrich_oracle_sql
+
+    return geo_enrich_oracle_sql(_GEO_PTS_SQL, "lat", "lng")
+
+
+@_register("geo_cell_enrich", _geo_sql())
+def geo_cell_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.geo import geo_enrich
+
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    lat = (F.pmod(F.col("user_id"), F.lit(170))).cast("double") - 85.0 + 0.25
+    lng = (F.pmod(F.col("user_id") * 7, F.lit(350))).cast("double") - 175.0 + 0.25
+    pts = ev.select("user_id", lat.alias("lat"), lng.alias("lng"))
+    return geo_enrich(pts, "lat", "lng").drop("lat", "lng")
+
+
+# --------------------------------------------------------------------------
+# 34. wav_features — REAL multimodal decode: deterministic RIFF/WAV bytes
+# synthesized per doc (stdlib wave writer inside mapInPandas), then parsed
+# back by the wave reader and reduced to amplitude features. The synthesis
+# formula (n = 64 + doc_id%64; sample_i = (doc_id*31+i*7)%256) is mirrored
+# in DuckDB, so the oracle checks the actual binary decode end-to-end.
+# --------------------------------------------------------------------------
+_WAV_SQL = """
+WITH d AS (
+    SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+), s AS (
+    SELECT doc_id, n, (doc_id*31 + i*7) % 256 AS amp
+    FROM d CROSS JOIN generate_series(0, 127) t(i)
+    WHERE i < n
+)
+SELECT doc_id,
+       CAST(max(n) AS INTEGER) AS n_frames,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(1 AS INTEGER) AS sample_width,
+       round(avg(amp), 6) AS mean_amp,
+       round(sqrt(avg(amp*amp)), 6) AS rms
+FROM s GROUP BY doc_id
+"""
+
+
+@_register("wav_features", _WAV_SQL)
+def wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = decode_wav_features(synthesize_wav(docs))
+    return feats.select(
+        "doc_id", "n_frames", "sample_rate", "n_channels", "sample_width",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

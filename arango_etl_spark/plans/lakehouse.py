@@ -305,12 +305,17 @@ class SnapshotTable:
         (Iceberg's expire_snapshots). Readers of retained versions are
         unaffected — files shared with newer snapshots are kept."""
         cur = self.current_version()
-        keep_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
-        referenced: set[str] = set()
         all_versions = sorted(
             int(f[1:-5]) for f in os.listdir(self.meta_dir)
             if f.startswith("v") and f.endswith(".json")
         )
+        # intersect with versions actually on disk: a prior expiry with a
+        # smaller keep_last (or any non-contiguous history) would otherwise
+        # make manifest(v) raise mid-GC
+        keep_versions = set(
+            range(max(0, cur - keep_last + 1), cur + 1)
+        ) & set(all_versions)
+        referenced: set[str] = set()
         for v in keep_versions:
             m = self.manifest(v)
             for fs in m["files"].values():

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,7 +50,14 @@ class LineageLog:
         wall_secs: float | None = None,
     ) -> None:
         """Per-input-partition counters for one micro-batch (north rule:
-        per-partition lineage counters). One small agg job over the batch."""
+        per-partition lineage counters). One small agg job over the batch.
+
+        Batch-level values (events_applied, events_deduped, wall) live on a
+        SINGLE summary row (partition_id NULL) — repeating them per
+        partition row made sums over the column overcount (round-1 ADVICE).
+        The caller (runner) persists the batch, so this second action reads
+        the cache, not the source files.
+        """
         per_part = (
             events.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("events_seen"))
@@ -58,22 +65,31 @@ class LineageLog:
                 F.lit(batch_id).cast("long").alias("batch_id"),
                 F.col("partition_id"),
                 F.col("events_seen").cast("long"),
+                F.lit(None).cast("long").alias("events_applied"),
+                F.lit(None).cast("long").alias("events_deduped"),
+                F.lit(None).cast("long").alias("committed_at_seq"),
+                F.lit(status).alias("status"),
+                F.lit(None).cast("int").alias("retries"),
+                F.lit(None).cast("double").alias("wall_secs"),
+            )
+        )
+        summary = (
+            events.agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit(None).cast("int").alias("partition_id"),
+                F.lit(None).cast("long").alias("events_seen"),
                 F.lit(keys_applied).cast("long").alias("events_applied"),
-                (F.lit(None).cast("long")).alias("events_deduped"),
+                (
+                    F.col("_n") - F.lit(keys_applied)
+                ).cast("long").alias("events_deduped"),
                 F.lit(max_seq_no).cast("long").alias("committed_at_seq"),
                 F.lit(status).alias("status"),
                 F.lit(retries).cast("int").alias("retries"),
                 F.lit(wall_secs).cast("double").alias("wall_secs"),
             )
-            .withColumn(
-                "events_deduped",
-                (
-                    F.sum("events_seen").over(Window.partitionBy("batch_id"))
-                    - F.col("events_applied")
-                ).cast("long"),
-            )
         )
-        per_part.write.mode("append").parquet(
+        per_part.unionByName(summary).write.mode("append").parquet(
             os.path.join(self.root, f"batch={batch_id:012d}")
         )
 
@@ -111,7 +127,8 @@ class LineageLog:
             .groupBy("batch_id")
             .agg(
                 F.sum("events_seen").alias("events_seen"),
-                F.first("wall_secs").alias("wall_secs"),
+                # wall_secs lives only on the batch summary row
+                F.max("wall_secs").alias("wall_secs"),
             )
             .withColumn(
                 "events_per_sec",

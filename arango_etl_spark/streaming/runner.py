@@ -21,7 +21,9 @@ fence makes re-delivery a no-op: exactly-once end-to-end.
 
 from __future__ import annotations
 
+import os
 import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +55,7 @@ class IngestConfig:
     dedup: str = "max_by"
     compact_every: int = 8
     max_files_per_trigger: int = 4
+    trigger_interval_secs: int = 10  # continuous-mode micro-batch cadence
     fail_batches: frozenset[int] = frozenset()  # fault injection for tests
     # poison-batch cap (reference max_retries=3, settings.rs:86-88): after
     # this many recorded failures an epoch is skipped and marked 'poisoned'
@@ -79,12 +82,14 @@ def run_ingest(
     """
     cfg = cfg or IngestConfig()
     schema = event_schema or EVENT_SCHEMA
+    run_id = _fence_run_id(checkpoint_dir)
 
+    # NOTE: .schema(schema) PINS the read schema — evolved columns in later
+    # files are only picked up when the caller passes a widened
+    # event_schema (the superset-schema pattern; CLI: --extra-columns).
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-        # additive evolution: later files may carry extra columns
-        .option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")
         .parquet(events_dir)
     )
@@ -102,33 +107,44 @@ def run_ingest(
                     spark, epoch_id, prior_failures, status="poisoned"
                 )
                 return
+        # with lineage on, the batch is read twice (merge + per-partition
+        # counters) — persist so the second action hits cache, not the
+        # source files; without lineage there is exactly one pass, no cache
+        persisted = False
         try:
             if epoch_id in cfg.fail_batches:
                 raise RuntimeError(f"injected failure at epoch {epoch_id}")
             if batch_df.isEmpty():  # early-exit on empty (SURVEY.md F9)
                 return
+            if lineage is not None:
+                batch_df = batch_df.persist()
+                persisted = True
             res = apply_changes(
                 spark,
                 table,
                 batch_df,
                 batch_id=epoch_id,
                 fence_stream_id=cfg.stream_id,
+                fence_run_id=run_id,
                 strategy=cfg.strategy,
                 dedup=cfg.dedup,
                 compact_every=cfg.compact_every,
             )
+            if lineage is not None and not res.skipped:
+                lineage.record_batch(
+                    batch_df,
+                    batch_id=epoch_id,
+                    keys_applied=res.keys_applied,
+                    max_seq_no=res.max_seq_no,
+                    wall_secs=time.monotonic() - t0,
+                )
         except Exception:
             if lineage is not None:
                 lineage.record_failure(spark, epoch_id, prior_failures + 1)
             raise
-        if lineage is not None and not res.skipped:
-            lineage.record_batch(
-                batch_df,
-                batch_id=epoch_id,
-                keys_applied=res.keys_applied,
-                max_seq_no=res.max_seq_no,
-                wall_secs=time.monotonic() - t0,
-            )
+        finally:
+            if persisted:
+                batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -139,8 +155,33 @@ def run_ingest(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     else:
-        q = writer.trigger(processingTime="10 seconds").start()
+        q = writer.trigger(
+            processingTime=f"{cfg.trigger_interval_secs} seconds"
+        ).start()
         return q  # caller manages lifecycle
+
+
+def _fence_run_id(checkpoint_dir: str) -> str:
+    """Checkpoint-lineage identity for the batch-id fence.
+
+    Epoch ids restart at 0 when a checkpoint is deleted, so fencing on
+    batch_id alone would silently drop new events that land in fenced
+    epochs. The run id lives INSIDE the checkpoint dir — created once with
+    it, destroyed with it — so the fence is scoped to exactly one epoch-id
+    lineage. (Local-FS implementation, matching SnapshotTable's manifest
+    layer; a remote-checkpoint deployment would use the Hadoop FS API.)
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "__fence_run_id__")
+    try:
+        fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        with os.fdopen(fd, "w") as f:
+            rid = uuid.uuid4().hex
+            f.write(rid)
+            return rid
+    except FileExistsError:
+        with open(marker) as f:
+            return f.read().strip()
 
 
 def read_final_state(spark: SparkSession, table: SnapshotTable) -> DataFrame:

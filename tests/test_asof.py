@@ -74,3 +74,33 @@ def test_asof_multiple_value_columns(spark):
         left, right, ["key"], "ts", ["quote", "tag"], tiebreak_col="rid"
     ).collect()[0]
     assert (out["quote_asof"], out["tag_asof"]) == (9.0, "y")
+
+
+def test_asof_synthesized_tiebreak_not_in_output(spark):
+    """Right-only tiebreak: the all-null column synthesized on the left for
+    ordering must not leak into the output schema (round-1 ADVICE)."""
+    left = spark.createDataFrame(
+        [("k1", ts(5), 100)], "key string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k1", ts(3), 1, 30.0)],
+        "key string, ts timestamp, rid int, quote double",
+    )
+    out = asof_join(left, right, ["key"], "ts", ["quote"], tiebreak_col="rid")
+    assert "rid" not in out.columns
+    assert out.collect()[0]["quote_asof"] == 30.0
+
+
+def test_asof_value_col_clash_raises(spark):
+    """A value_col already present on the left would be silently
+    null-clobbered — must raise instead."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("k1", ts(5), 1.0)], "key string, ts timestamp, quote double"
+    )
+    right = spark.createDataFrame(
+        [("k1", ts(3), 30.0)], "key string, ts timestamp, quote double"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join(left, right, ["key"], "ts", ["quote"])

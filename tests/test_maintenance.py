@@ -145,3 +145,25 @@ def test_salted_stage_write_same_state(spark, tmp_path):
     a = {r["doc_id"]: r["n_tok"] for r in t_plain.read(spark).collect()}
     b = {r["doc_id"]: r["n_tok"] for r in t_salted.read(spark).collect()}
     assert a == b and len(a) > 0
+
+
+def test_expire_snapshots_twice_with_shrinking_keep(spark, tmp_path):
+    """A second expiry with a LARGER keep_last after an aggressive one must
+    not crash on already-deleted manifests (round-1 ADVICE:
+    non-contiguous history)."""
+    t = mk_table(tmp_path, "gc2")
+    for i in range(5):
+        apply_changes(
+            spark, t,
+            mk_events(spark, [ev("update", f"doc_{j}", 10 * i + j, [i, j])
+                              for j in range(5)]),
+            strategy="cow",
+        )
+    t.expire_snapshots(keep_last=1)
+    apply_changes(
+        spark, t,
+        mk_events(spark, [ev("update", "doc_0", 999, [9])]), strategy="cow",
+    )
+    out = t.expire_snapshots(keep_last=4)  # window reaches expired versions
+    assert "expired_versions" in out
+    assert t.read(spark).count() > 0

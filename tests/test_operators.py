@@ -195,3 +195,40 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert (0, 99999) in found
     # near-orthogonal random vectors must not appear as near-dups
     assert all(p == (0, 99999) or p[0] != 0 for p in found)
+
+
+# ------------------------------------------------------------------- geo
+def test_geo_cell_roundtrip_and_parent(spark):
+    """Mirror of the reference's only unit test (loc_data.rs:101-129):
+    a cell's center re-encodes to the same cell; the parent at a coarser
+    res contains the child (same grid indices after the shift)."""
+    from arango_etl_spark.operators import geo
+
+    pts = spark.createDataFrame(
+        [(1, 37.7749, -122.4194), (2, -33.8688, 151.2093), (3, 0.0, 0.0),
+         (4, 90.0, 180.0), (5, -90.0, -180.0)],  # poles/antimeridian clamp
+        "id long, lat double, lng double",
+    )
+    enriched = geo.geo_enrich(pts, "lat", "lng", res=12, parent_res=5)
+    rows = enriched.collect()
+    # round-trip: re-encode each center → identical cell
+    centers = spark.createDataFrame(
+        [(r["id"], r["cell_lat"], r["cell_lng"], r["cell"])
+         for r in rows],
+        "id long, lat double, lng double, orig_cell string",
+    )
+    again = geo.geo_enrich(centers, "lat", "lng", res=12, parent_res=5)
+    for r in again.collect():
+        assert r["cell"] == r["orig_cell"], f"round-trip failed for id={r['id']}"
+    # parent containment: child indices >> 7 == parent indices
+    for r in rows:
+        _, x, y = r["cell"].split("_")
+        _, px, py = r["parent_cell"].split("_")
+        assert (int(x) >> 7, int(y) >> 7) == (int(px), int(py))
+    # geojson box straddles the center
+    import json as _json
+    for r in rows:
+        poly = _json.loads(r["geojson"])["coordinates"][0]
+        w, s = poly[0]
+        e, n = poly[2]
+        assert w <= r["cell_lng"] <= e and s <= r["cell_lat"] <= n

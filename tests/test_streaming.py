@@ -133,3 +133,36 @@ def test_stream_processing_time_trigger(spark, tmp_path, events_dir):
     actual = t.read(spark).toPandas()
     expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
     assert_states_equal(actual, expected)
+
+
+def test_fresh_checkpoint_new_data_not_dropped(spark, tmp_path, events_dir):
+    """THE fence-lineage hazard (round-1 ADVICE): checkpoint lost, table
+    kept, NEW events arrive. The refeed re-batches old+new files into
+    epochs restarting at 0 — without a run-scoped fence the new events in
+    fenced epochs would be silently discarded."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    t = mk_table(tmp_path, "fence_lineage")
+    run_ingest(spark, events_dir, t, str(tmp_path / "ckpt1"))
+
+    # new events on top of the old log: strictly higher seq_nos for a doc
+    new_dir = str(tmp_path / "events2")
+    shutil.copytree(events_dir, new_dir)
+    top = spark.read.parquet(f"{events_dir}/batch=*").agg(
+        F.max("seq_no")
+    ).collect()[0][0]
+    late = spark.read.parquet(f"{events_dir}/batch=00000").limit(1).select(
+        F.col("op"), F.col("doc_id"), (F.lit(top) + 1000).alias("seq_no"),
+        F.expr("array(1,2,3)").cast("array<int>").alias("tokens"),
+        F.lit(3).alias("n_tok"), F.lit("late-src").alias("source"),
+        F.lit(999).cast("long").alias("batch_id"), F.col("event_ts"),
+    ).withColumn("op", F.lit("update"))
+    doc = late.collect()[0]["doc_id"]
+    late.write.parquet(f"{new_dir}/batch=00099")
+
+    # fresh checkpoint → epochs restart at 0; new file is in an early epoch
+    run_ingest(spark, new_dir, t, str(tmp_path / "ckpt2"))
+    got = t.read(spark).where(F.col("doc_id") == doc).collect()
+    assert len(got) == 1 and got[0]["source"] == "late-src", got
