@@ -159,7 +159,7 @@ def main() -> None:
     p.add_argument("--strategy", default="mor", choices=["mor", "cow"])
     p.add_argument("--dedup", default="max_by",
                    choices=["max_by", "window", "salted_window",
-                            "applyinpandas"],
+                            "applyinpandas", "single_shuffle"],
                    help="intra-batch dedup strategy")
     p.add_argument("--compact-every", type=int, default=8,
                    help="MoR: compact when avg delta files/bucket exceeds "

@@ -150,20 +150,38 @@ def apply_changes(
         if f_.name not in events.columns:
             events = events.withColumn(f_.name, F.lit(None).cast(f_.dataType))
 
-    deduped = DEDUP_STRATEGIES[dedup](events, key_col=key_col)
+    single_shuffle = dedup == "single_shuffle"
+    if single_shuffle and strategy != "mor":
+        raise ValueError("single_shuffle dedup requires the MoR strategy")
 
     obs = None
-    if collect_metrics:
-        obs = Observation(f"merge-{manifest['version'] + 1}")
-        deduped = deduped.observe(
-            obs,
-            F.count(F.lit(1)).alias("keys_applied"),
-            F.max("seq_no").alias("max_seq_no"),
+    if single_shuffle:
+        # one exchange total: bucket-repartition the RAW batch, sort within
+        # partitions, keep-first per key (Arrow), write with NO further
+        # shuffle — the dedup→write exchange of the default path is gone
+        src = _as_stored(events, key_col, payload).withColumn(
+            "_bucket", table.bucket_expr(F.col(key_col), manifest)
         )
-
-    src = _as_stored(deduped, key_col, payload).withColumn(
-        "_bucket", table.bucket_expr(F.col(key_col), manifest)
-    )
+        src = _dedup_bucketed_arrow(src, key_col, _write_parallelism(table))
+        if collect_metrics:
+            obs = Observation(f"merge-{manifest['version'] + 1}")
+            src = src.observe(
+                obs,
+                F.count(F.lit(1)).alias("keys_applied"),
+                F.max("_seq_no").alias("max_seq_no"),
+            )
+    else:
+        deduped = DEDUP_STRATEGIES[dedup](events, key_col=key_col)
+        if collect_metrics:
+            obs = Observation(f"merge-{manifest['version'] + 1}")
+            deduped = deduped.observe(
+                obs,
+                F.count(F.lit(1)).alias("keys_applied"),
+                F.max("seq_no").alias("max_seq_no"),
+            )
+        src = _as_stored(deduped, key_col, payload).withColumn(
+            "_bucket", table.bucket_expr(F.col(key_col), manifest)
+        )
 
     # CoW must read existing files with the widened schema so evolved
     # columns resolve on the target side (null-backfilled for old files)
@@ -174,7 +192,7 @@ def apply_changes(
     )
 
     if strategy == "mor":
-        new_files, replaced = _merge_mor(table, src)
+        new_files, replaced = _merge_mor(table, src, pre_arranged=single_shuffle)
     elif strategy == "cow":
         # touched buckets listed from the deduped source, not the raw
         # batch: inside foreachBatch an extra action on the streaming
@@ -232,13 +250,60 @@ def apply_changes(
 
 
 def _merge_mor(
-    table: SnapshotTable, src: DataFrame
+    table: SnapshotTable, src: DataFrame, pre_arranged: bool = False
 ) -> tuple[dict[str, list[str]], set[int]]:
     """Append the deduped batch as per-bucket delta files — no target read,
     no target-side shuffle; commit cost is O(batch). The LWW reduce is
     deferred to readers / compaction (Iceberg MoR shape)."""
-    _, files = table.stage_write(src)
+    _, files = table.stage_write(src, pre_arranged=pre_arranged)
     return files, set()  # append: every existing file carries over
+
+
+def _write_parallelism(table: SnapshotTable) -> int:
+    """Same partition-count rule as stage_write (pinned: AQE would coalesce
+    the post-dedup exchange to 1-2 partitions and serialize the write)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return max(
+        spark.sparkContext.defaultParallelism,
+        table.manifest()["n_buckets"] // 4,
+    )
+
+
+def _dedup_bucketed_arrow(
+    src: DataFrame, key_col: str, n_parts: int
+) -> DataFrame:
+    """Single-shuffle LWW merge stage (the north star's 'vectorized
+    Arrow/pandas merge stage'): bucket-repartition once, sort within
+    partitions by (bucket, key, LWW-order DESC), then keep the FIRST row
+    per key with an Arrow-batched keep-first that carries the last key
+    across Arrow batch boundaries (a key's rows are contiguous after the
+    sort but may straddle batches). All of a key's events share a bucket,
+    so per-partition dedup is complete — no second exchange, and the
+    partition layout + sort order already match what stage_write needs."""
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    schema = src.schema
+    arranged = src.repartition(n_parts, F.col("_bucket")).sortWithinPartitions(
+        "_bucket",
+        key_col,
+        *[F.col(f"_{c}").desc() for c in ("seq_no", "event_ts", "batch_id", "op")],
+    )
+
+    def keep_first(batches):
+        last_key = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.drop_duplicates(subset=[key_col], keep="first")
+            if last_key is not None and pdf.iloc[0][key_col] == last_key:
+                pdf = pdf.iloc[1:]
+            if not pdf.empty:
+                last_key = pdf.iloc[-1][key_col]
+                yield pdf
+
+    return arranged.mapInPandas(keep_first, schema=schema)
 
 
 def _merge_cow(

@@ -67,31 +67,42 @@ def cosine_topk(
     )
 
 
+def _plane_weights(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """±1 pseudo-weights, deterministic from (seed, plane, component) via
+    md5 — no RNG state, replayable across runs and engines."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}|{p}|{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_signs(
     vec: Column, dim: int, n_planes: int = 16, seed: int = 7
 ) -> Column:
-    """Deterministic random-hyperplane signature: plane p, component j has
-    pseudo-weight in {-1,+1} from xxhash64(p, j, seed); sign of the dot
-    product gives bit p. Returns array<int> of 0/1 bits."""
-    def plane_bit(p: Column) -> Column:
-        # sum_j vec[j] * w(p, j); w = ±1 from hash parity
-        prods = F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: F.when(
-                    F.pmod(F.xxhash64(p, j, F.lit(seed)), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, w: x.cast("double") * w,
+    """Deterministic random-hyperplane signature: sign of vec·w_p gives
+    bit p. Plane weights are CONSTANTS — precomputed once on the driver
+    into literal arrays (round-1 VERDICT #6: the previous form evaluated
+    n_planes × dim xxhash64 calls per vector per query). Returns
+    array<int> of 0/1 bits."""
+    ws = _plane_weights(dim, n_planes, seed)
+
+    def plane_bit(p: int) -> Column:
+        warr = F.array(*[F.lit(w) for w in ws[p]])
+        s = F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        s = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
         return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)), lambda p: plane_bit(p)
-    )
+    return F.array(*[plane_bit(p) for p in range(n_planes)])
 
 
 def lsh_cosine_topk(

@@ -1099,6 +1099,180 @@ def wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 35. jaccard_pairs — exact n-gram Jaccard over inverted-index candidates
+# (training-data op; operators/dedup.py jaccard_ngram_pairs). Pure
+# set-arithmetic → full DuckDB oracle.
+# --------------------------------------------------------------------------
+_JACCARD_SQL = r"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, greatest(len(w) - 3, 0)),
+                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        FROM ws)
+    WHERE shingle <> ''
+), sizes AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), buckets AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) BETWEEN 2 AND 1000
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN buckets USING (shingle)
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+)
+WHERE jaccard >= 0.2
+"""
+
+
+@_register("jaccard_pairs", _JACCARD_SQL)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import jaccard_ngram_pairs
+
+    return jaccard_ngram_pairs(
+        _t(spark, sf_dir, "documents"), ngram=3, threshold=0.2
+    )
+
+
+# --------------------------------------------------------------------------
+# 36. language_id_docs — stopword-marker language heuristic
+# (operators/text.py language_id; pure length arithmetic → DuckDB oracle).
+# --------------------------------------------------------------------------
+def _lang_sql() -> str:
+    from arango_etl_spark.operators.text import LANG_MARKERS
+
+    def cnt(m: str) -> str:
+        esc = m.replace("'", "''")
+        return (f"(length(p) - length(replace(p, '{esc}', '')))"
+                f" / {len(m)}")
+
+    score = {
+        lang: " + ".join(cnt(m) for m in ms)
+        for lang, ms in LANG_MARKERS.items()
+    }
+    # fold langs in dict order with strict > (mirrors the Spark fold:
+    # later lang wins only when strictly greater)
+    langs = list(score.keys())
+    best_score, best_lang = f"({score[langs[0]]})", f"'{langs[0]}'"
+    for lang in langs[1:]:
+        s = f"({score[lang]})"
+        best_lang = (f"CASE WHEN {s} > {best_score} THEN '{lang}' "
+                     f"ELSE {best_lang} END")
+        best_score = f"greatest({s}, {best_score})"
+    return f"""
+WITH p0 AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {best_score} > 0 THEN {best_lang}
+            ELSE 'unknown' END AS predicted_lang
+FROM p0
+"""
+
+
+@_register("language_id_docs", _lang_sql())
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "predicted_lang"
+    )
+
+
+# --------------------------------------------------------------------------
+# 37. cdc_engine_replay — the ACTUAL ENGINE under the oracle gate: the same
+# synthesized 5-version change log as cdc_final_state, but applied through
+# the real path — SnapshotTable + apply_changes (MoR, batch fences,
+# compaction) — then read back LWW-resolved. cdc_final_state checks the
+# QUERY semantics; this row checks the TABLE/MERGE machinery end-to-end.
+# --------------------------------------------------------------------------
+@_register("cdc_engine_replay", _CDC_SQL)
+def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.operators.merge_into import apply_changes, compact
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        # distinct alias: Spark 4 lateral column aliases would otherwise
+        # resolve the tokens_expr doc_id reference to the STRING key
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0, "delete"
+        ).otherwise(F.lit("update")).alias("op"),
+        tokens_expr(F.col("doc_id"), seq).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+        F.col("source"),
+        # batch k-1: version k of every doc arrives in micro-batch k-1 →
+        # multi-batch replay with genuine cross-batch LWW updates
+        (F.col("k") - 1).cast("long").alias("batch_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_ts"),
+    ).withColumnRenamed("doc_key", "doc_id")
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    table = SnapshotTable.create(
+        tempfile.mkdtemp(prefix="parity_engine_") + "/t", payload, n_buckets=16
+    )
+    for b in range(5):
+        apply_changes(
+            spark, table, ev.where(F.col("batch_id") == b),
+            batch_id=b, fence_stream_id="parity", strategy="mor",
+            compact_every=0,
+        )
+    compact(spark, table)  # exercise the maintenance path too
+    return table.read(spark).select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
+# 38. embedding_near_dups — cosine near-duplicate pairs via multi-table
+# hyperplane LSH + exact confirm (training-data op). The hyperplane bucket
+# hash is not SQL-portable → rows-only driver check; exactness is covered
+# by pytest (every emitted pair's cos_sim is exact and >= threshold).
+# --------------------------------------------------------------------------
+@_register("embedding_near_dups", None)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

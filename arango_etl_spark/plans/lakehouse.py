@@ -177,6 +177,7 @@ class SnapshotTable:
         bucket_col: str = "_bucket",
         sort_within: bool = True,
         salt_n: int | None = None,
+        pre_arranged: bool = False,
     ) -> tuple[str, dict[str, list[str]]]:
         """Write df (with bucket_col) as one parquet dir partitioned by
         bucket; return (commit_dir_rel, files-by-bucket).
@@ -196,7 +197,12 @@ class SnapshotTable:
             df.sparkSession.sparkContext.defaultParallelism,
             self.manifest()["n_buckets"] // 4,
         )
-        if salt_n:
+        if pre_arranged:
+            # caller already bucket-partitioned AND key-sorted the frame
+            # (single-shuffle merge path) — any repartition/sort here would
+            # re-introduce the exchange that path exists to eliminate
+            writer = df
+        elif salt_n:
             # hot-bucket write skew: spread one bucket over salt_n writer
             # tasks (north rule salting; partitionBy still groups the
             # files per bucket, there are just more of them)
@@ -208,7 +214,7 @@ class SnapshotTable:
             )
         else:
             writer = df.repartition(n_parts, F.col(bucket_col))
-        if sort_within:
+        if sort_within and not pre_arranged:
             writer = writer.sortWithinPartitions(bucket_col, self.manifest()["key_col"])
         writer.write.partitionBy(bucket_col).mode("error").parquet(out)
         files: dict[str, list[str]] = {}

@@ -45,7 +45,8 @@ PARITY_QUERIES = [
 
 
 def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
-                     strategy: str, n_batches: int = 8) -> dict:
+                     strategy: str, n_batches: int = 8,
+                     dedup: str = "max_by") -> dict:
     """Generate a change log over the sf documents universe, write it as
     batch files (not timed), then time the replay: per-batch dedup + MERGE
     + commit, including the periodic compaction — the sustained-ingest
@@ -80,7 +81,7 @@ def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
         apply_changes(
             spark, table, batch,
             batch_id=b, fence_stream_id="bench",
-            strategy=strategy, compact_every=0,
+            strategy=strategy, dedup=dedup, compact_every=0,
         )
     replay_secs = time.monotonic() - t0
     # maintenance + read-side costs reported separately: at cluster scale
@@ -103,14 +104,22 @@ def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
         "events_per_sec": round(n_total / replay_secs, 1),
         "final_rows": n_final,
         "strategy": strategy,
+        "dedup": dedup,
     }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_N_EVENTS", "2000000"))
+    # default sized OUT of the fixed-cost regime: at 2M×8 batches the
+    # ~1.3 s/micro-batch driver latency dominated and the recorded ev/s
+    # reflected job-submission overhead, not engine throughput (round-1
+    # BENCH analysis). 16M events in 4 batches puts >80% of wall time in
+    # scalable work while keeping the run a few minutes.
+    n_events = int(os.environ.get("BENCH_N_EVENTS", "16000000"))
     strategy = os.environ.get("BENCH_STRATEGY", "mor")
+    dedup = os.environ.get("BENCH_DEDUP", "max_by")
+    n_batches = int(os.environ.get("BENCH_N_BATCHES", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
@@ -118,7 +127,10 @@ def main() -> None:
 
     work_dir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
-        replay = bench_cdc_replay(spark, sf_dir, work_dir, n_events, strategy)
+        replay = bench_cdc_replay(
+            spark, sf_dir, work_dir, n_events, strategy,
+            n_batches=n_batches, dedup=dedup,
+        )
         queries["cdc_replay"] = replay["replay_secs"]
         queries["cdc_final_read"] = replay["final_read_secs"]
 
