@@ -23,6 +23,8 @@ TOML+env settings.rs collapses to these flags).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 from pyspark.sql import functions as F
 
@@ -149,10 +151,48 @@ def _widened_schema(extra_columns: str | None):
     return T.StructType(fields)
 
 
+# flags settable via TOML config / env (the reference's settings surface:
+# TOML + ARANGO_ETL_* env overrides, /root/reference/src/settings.rs:56-112,
+# 134-146). Precedence: CLI flag > ARANGO_ETL_SPARK_<KEY> env > TOML > default.
+_CONFIG_KEYS = {
+    "events": str, "table": str, "checkpoint": str, "lineage": str,
+    "stream_id": str, "strategy": str, "dedup": str, "compact_every": int,
+    "buckets": int, "cores": int, "max_files_per_trigger": int,
+    "trigger_interval": int, "max_retries": int, "extra_columns": str,
+}
+
+
+def _load_settings(argv: list[str]) -> dict:
+    """TOML file (via --config PATH) merged with ARANGO_ETL_SPARK_* env."""
+    cfg: dict = {}
+    if "--config" in argv:
+        import tomllib
+
+        path = argv[argv.index("--config") + 1]
+        with open(path, "rb") as f:
+            cfg.update(tomllib.load(f))
+    for key in _CONFIG_KEYS:
+        v = os.environ.get(f"ARANGO_ETL_SPARK_{key.upper()}")
+        if v is not None:
+            cfg[key] = v
+    out = {}
+    for k, v in cfg.items():
+        if k not in _CONFIG_KEYS:
+            raise SystemExit(f"unknown config key: {k!r}")
+        out[k] = _CONFIG_KEYS[k](v)
+    return out
+
+
 def main() -> None:
+    settings = _load_settings(sys.argv[1:])
     p = argparse.ArgumentParser(prog="arango_etl_spark")
-    p.add_argument("--events", required=True, help="change-event log dir (parquet)")
-    p.add_argument("--table", required=True, help="target SnapshotTable root")
+    p.add_argument("--config", default=None,
+                   help="TOML settings file; CLI flags and "
+                        "ARANGO_ETL_SPARK_* env vars override it")
+    p.add_argument("--events", required="events" not in settings,
+                   help="change-event log dir (parquet)")
+    p.add_argument("--table", required="table" not in settings,
+                   help="target SnapshotTable root")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--lineage", default=None)
     p.add_argument("--stream-id", default="cdc")
@@ -186,6 +226,12 @@ def main() -> None:
     c.add_argument("--extra-columns", default=None,
                    help="comma list of name:type — widen the read schema "
                         "for additive evolution (superset-schema pattern)")
+
+    # TOML/env settings become parser-level defaults: they pre-populate the
+    # namespace, so subparser defaults don't clobber them while explicit
+    # CLI flags still win (argparse only applies a default when the
+    # attribute is absent)
+    p.set_defaults(**settings)
 
     args = p.parse_args()
     if args.cmd == "current" and not args.checkpoint:

@@ -138,3 +138,34 @@ def test_cli_knobs_strategy_and_compaction(spark, events_dir, tmp_path):
     actual = SnapshotTable(table_dir).read(spark).toPandas()
     expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
     assert_states_equal(actual, expected)
+
+
+def test_cli_toml_config_and_env_precedence(spark, events_dir, tmp_path):
+    """The reference's settings surface (TOML + ARANGO_ETL_* env,
+    settings.rs:56-112,134-146): config file supplies defaults, env
+    overrides the file, CLI flags override both."""
+    table_dir = str(tmp_path / "tab")
+    cfg = tmp_path / "etl.toml"
+    cfg.write_text(
+        f'events = "{events_dir}"\n'
+        f'table = "{table_dir}"\n'
+        'strategy = "cow"\n'          # env overrides this to mor
+        'dedup = "window"\n'
+        'compact_every = 0\n'
+        'buckets = 8\n'
+        'cores = 4\n'
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "arango_etl_spark.cli",
+         "--config", str(cfg), "history", "--after", "0"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        env={**os.environ, "ARANGO_ETL_SPARK_STRATEGY": "mor"},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    t = SnapshotTable(table_dir)
+    assert t.manifest()["n_buckets"] == 8  # from the TOML
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{events_dir}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+    # mor + compact_every=0 → delta files accumulated, never compacted
+    assert t.manifest()["mode"] == "append"

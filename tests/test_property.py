@@ -77,3 +77,102 @@ def test_any_log_matches_oracle(spark, tmp_path_factory, strategy, log):
     all_events = mk_events(spark, first + second).toPandas()
     expected = reduce_events_pandas(all_events)
     assert_states_equal(t.read(spark).toPandas(), expected)
+
+
+# ---------------------------------------------------------------- as-of join
+@st.composite
+def asof_cases(draw):
+    keys = ["a", "b"]
+    n_l = draw(st.integers(1, 8))
+    n_r = draw(st.integers(0, 8))
+    left = [
+        (draw(st.sampled_from(keys)), TS0 + dt.timedelta(seconds=draw(st.integers(0, 9))), i)
+        for i in range(n_l)
+    ]
+    right = [
+        (
+            draw(st.sampled_from(keys)),
+            TS0 + dt.timedelta(seconds=draw(st.integers(0, 9))),
+            draw(st.integers(0, 5)),  # rid tiebreak (may collide; value keyed off it)
+            float(draw(st.integers(0, 100))),
+        )
+        for _ in range(n_r)
+    ]
+    # dedupe right on (key, ts, rid): colliding tiebreaks are undefined order
+    right = list({(k, ts, rid): (k, ts, rid, v) for k, ts, rid, v in right}.values())
+    return left, right
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=asof_cases())
+def test_asof_matches_bruteforce(spark, case):
+    """asof_join == per-row brute force: latest right (ts, rid) at-or-before
+    each left ts per key (inclusive semantics, right-only tiebreak)."""
+    from arango_etl_spark.operators.asof import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        left_rows, "key string, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        right_rows or [("_none_", TS0, 0, 0.0)],
+        "key string, ts timestamp, rid int, quote double",
+    )
+    out = {
+        r["lid"]: r["quote_asof"]
+        for r in asof_join(
+            left, right, ["key"], "ts", ["quote"], tiebreak_col="rid"
+        ).collect()
+    }
+    for k, lts, lid in left_rows:
+        cands = [
+            (ts, rid, v) for (rk, ts, rid, v) in (right_rows or [])
+            if rk == k and ts <= lts
+        ]
+        want = max(cands)[2] if cands else None
+        assert out[lid] == want, (k, lts, lid, cands)
+
+
+# ----------------------------------------------------------------- geo cells
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+            st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_geo_cell_invariants(spark, pts):
+    """Any point: its cell's bounding box contains it (clamped at the
+    poles/antimeridian), and parent indices == child indices >> shift."""
+    import json as _json
+
+    from arango_etl_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [(i, la, ln) for i, (la, ln) in enumerate(pts)],
+        "id long, lat double, lng double",
+    )
+    eps = 1e-9  # box edges recomputed from indices: allow 1 ulp-ish slack
+    for r in geo.geo_enrich(df, "lat", "lng", res=8, parent_res=3).collect():
+        poly = _json.loads(r["geojson"])["coordinates"][0]
+        (w, s), (e, n) = poly[0], poly[2]
+        lat, lng = pts[r["id"]]
+        assert w - eps <= lng <= e + eps, (lng, w, e)
+        assert s - eps <= lat <= n + eps, (lat, s, n)
+        _, x, y = r["cell"].split("_")
+        _, px, py = r["parent_cell"].split("_")
+        assert (int(x) >> 5, int(y) >> 5) == (int(px), int(py))
