@@ -122,7 +122,10 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_N_BATCHES", "4"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    shuffle_partitions = int(
+        os.environ.get("BENCH_SHUFFLE_PARTITIONS", str(cpus))
+    )
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=shuffle_partitions)
     queries: dict[str, float] = {}
 
     work_dir = tempfile.mkdtemp(prefix="bench_cdc_")
