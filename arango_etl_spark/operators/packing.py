@@ -1,0 +1,91 @@
+"""Sequence packing + deterministic sampling — training-data pipeline ops.
+
+``pack_sequences`` concatenates per-doc token arrays (in deterministic
+doc order within each group) and splits the stream into fixed-length
+training chunks — the standard "pack short documents into 2048-token
+windows" preprocessing step before LLM training. Spark-first shape:
+
+  1. one window per group computes each doc's starting offset
+     (cumulative n_tok) — a single shuffle on the group key;
+  2. posexplode assigns every token its global position (map-side);
+  3. chunk_id = floor(global_pos / L); groupBy (group, chunk_id)
+     reassembles chunks with tokens ordered by position.
+
+Skew note (100 TB): the explode is map-side and chunk groups are
+bounded at L tokens, so the second aggregation's groups are uniform by
+construction — no hot keys regardless of document skew.
+
+``deterministic_sample`` hash-samples rows at an exact permille with the
+engine-portable md5 hash (same value in the DuckDB oracle) — replayable
+downsampling with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators.dedup import portable_hash60
+
+
+def pack_sequences(
+    docs: DataFrame,
+    chunk_len: int,
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pack token arrays into fixed ``chunk_len`` chunks per group.
+
+    Returns (group_cols..., chunk_id, n_tok, first_token, last_token,
+    token_sum) — chunk stats rather than the materialized array so the
+    result is hash-comparable; ``n_tok == chunk_len`` for every chunk
+    except each group's last.
+    """
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols).orderBy(order_col)
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy(order_col)
+    )
+    with_off = docs.select(
+        *group_cols,
+        F.col(order_col),
+        F.col(tokens_col),
+        (
+            F.sum(F.size(tokens_col)).over(w) - F.size(tokens_col)
+        ).alias("_offset"),
+    )
+    toks = with_off.select(
+        *group_cols,
+        F.col("_offset"),
+        F.posexplode(tokens_col).alias("_pos", "_tok"),
+    ).select(
+        *group_cols,
+        (F.col("_offset") + F.col("_pos")).alias("_gpos"),
+        F.col("_tok"),
+    )
+    chunked = toks.select(
+        *group_cols,
+        F.floor(F.col("_gpos") / chunk_len).alias("chunk_id"),
+        "_gpos",
+        "_tok",
+    )
+    return chunked.groupBy(*group_cols, "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.min_by("_tok", "_gpos").alias("first_token"),
+        F.max_by("_tok", "_gpos").alias("last_token"),
+        F.sum("_tok").alias("token_sum"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, permille: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep rows whose portable hash lands in [0, permille) of 1000 —
+    exact, replayable, engine-portable sampling (no RNG state; the
+    reference's hazard of wall-clock/RNG in derived data, SURVEY §4.3)."""
+    return df.where(
+        F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(1000))
+        < permille
+    )

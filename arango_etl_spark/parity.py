@@ -1273,6 +1273,74 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9)
 
 
+# --------------------------------------------------------------------------
+# 39. pack_chunks — sequence packing: concatenate per-doc token arrays in
+# doc order per source and split into fixed 256-token training chunks
+# (operators/packing.py; the standard pre-training packing step). Chunk
+# stats compared (count/first/last/sum) — full oracle.
+# --------------------------------------------------------------------------
+_PACK_SQL = f"""
+WITH d AS (
+    SELECT source, doc_id,
+           {tokens_sql("doc_id", "doc_id")} AS tokens,
+           {n_tok_sql("doc_id", "doc_id")}  AS n
+    FROM documents
+), off AS (
+    SELECT source, tokens,
+           sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS o
+    FROM d
+), tok AS (
+    -- no WITH ORDINALITY in this DuckDB build: index via generate_series
+    -- (token arrays are <= 65 long by the tokenizer formula)
+    SELECT source, o + i - 1 AS gpos, tokens[i] AS tok
+    FROM off CROSS JOIN generate_series(1, 65) t(i)
+    WHERE i <= len(tokens)
+)
+SELECT source,
+       CAST(floor(gpos / 256.0) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       arg_min(tok, gpos) AS first_token,
+       arg_max(tok, gpos) AS last_token,
+       CAST(sum(tok) AS BIGINT) AS token_sum
+FROM tok GROUP BY source, CAST(floor(gpos / 256.0) AS BIGINT)
+"""
+
+
+@_register("pack_chunks", _PACK_SQL)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import tokens_expr
+    from arango_etl_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        tokens_expr(F.col("doc_id"), F.col("doc_id")).alias("tokens"),
+    )
+    return pack_sequences(
+        d, chunk_len=256, order_col="doc_id", group_cols=["source"]
+    )
+
+
+# --------------------------------------------------------------------------
+# 40. sampled_docs — deterministic hash sampling at an exact permille
+# (operators/packing.py deterministic_sample; replayable, no RNG state).
+# --------------------------------------------------------------------------
+_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < 250
+"""
+
+
+@_register("sampled_docs", _SAMPLE_SQL)
+def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.packing import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), permille=250
+    ).select("doc_id", "source")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

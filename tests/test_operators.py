@@ -232,3 +232,46 @@ def test_geo_cell_roundtrip_and_parent(spark):
         w, s = poly[0]
         e, n = poly[2]
         assert w <= r["cell_lng"] <= e and s <= r["cell_lat"] <= n
+
+
+# --------------------------------------------------------------- packing
+def test_pack_sequences_invariants(spark):
+    """Every chunk except each group's last is exactly chunk_len; token
+    count and sum are conserved; chunk ids are dense from 0."""
+    from arango_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        ("s1", 1, list(range(10))),
+        ("s1", 2, list(range(7))),
+        ("s1", 3, list(range(12))),
+        ("s2", 4, list(range(5))),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = pack_sequences(df, chunk_len=8, order_col="doc_id",
+                         group_cols=["source"]).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    for g, chunks in by_group.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_tok"] == 8 for c in chunks[:-1])
+        assert 1 <= chunks[-1]["n_tok"] <= 8
+    total = sum(r["n_tok"] for r in out)
+    assert total == sum(len(t) for _, _, t in rows)
+    assert sum(r["token_sum"] for r in out) == sum(sum(t) for _, _, t in rows)
+    # deterministic packing: first chunk of s1 = docs 1..2 concatenated
+    s1c0 = [r for r in out if r["source"] == "s1" and r["chunk_id"] == 0][0]
+    assert (s1c0["first_token"], s1c0["last_token"]) == (0, 7)
+
+
+def test_deterministic_sample_is_stable_and_exactish(spark, docs):
+    from arango_etl_spark.operators.packing import deterministic_sample
+
+    a = {r["doc_id"] for r in deterministic_sample(docs, 300).select("doc_id").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 300).select("doc_id").collect()}
+    assert a == b  # replayable
+    n = docs.count()
+    assert 0.15 * n <= len(a) <= 0.45 * n  # md5-uniform-ish at permille 300
+    sub = {r["doc_id"] for r in deterministic_sample(docs, 100).select("doc_id").collect()}
+    assert sub <= a  # nested: smaller permille is a subset
