@@ -187,3 +187,29 @@ def _fence_run_id(checkpoint_dir: str) -> str:
 def read_final_state(spark: SparkSession, table: SnapshotTable) -> DataFrame:
     """Public final table state (LWW-resolved, tombstones dropped)."""
     return table.read(spark)
+
+
+def stream_progress(query) -> list[dict]:
+    """Lag/throughput surface from Spark's own StreamingQueryProgress
+    (north rule ST8): one dict per recent micro-batch with rows/sec,
+    batch duration, and pending-work signals. Complements LineageLog
+    (durable, queryable) with the live in-flight view the reference
+    exposed over Redis (/root/reference/src/handler/redis_handler.rs:19-24).
+    """
+    out = []
+    for p in query.recentProgress:
+        src = (p.get("sources") or [{}])[0]
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "input_rows": p.get("numInputRows"),
+                "rows_per_sec": p.get("processedRowsPerSecond"),
+                "batch_duration_ms": (p.get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                # file-source lag: how far the cursor is behind the log
+                "latest_offset": src.get("latestOffset"),
+                "end_offset": src.get("endOffset"),
+            }
+        )
+    return out

@@ -166,3 +166,31 @@ def test_fresh_checkpoint_new_data_not_dropped(spark, tmp_path, events_dir):
     run_ingest(spark, new_dir, t, str(tmp_path / "ckpt2"))
     got = t.read(spark).where(F.col("doc_id") == doc).collect()
     assert len(got) == 1 and got[0]["source"] == "late-src", got
+
+
+def test_stream_progress_surface(spark, tmp_path, events_dir):
+    """stream_progress exposes per-batch rows/sec + duration from Spark's
+    StreamingQueryProgress (the live lag/throughput view, ST8)."""
+    from arango_etl_spark.streaming.runner import stream_progress
+
+    t = mk_table(tmp_path, "progress")
+    q = run_ingest(
+        spark, events_dir, t, str(tmp_path / "ckpt"),
+        cfg=IngestConfig(max_files_per_trigger=2, trigger_interval_secs=1),
+        available_now=False,
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        prog = []
+        while _t.time() < deadline:
+            prog = [p for p in stream_progress(q) if p["input_rows"]]
+            if len(prog) >= 2:
+                break
+            _t.sleep(1)
+        assert len(prog) >= 2, "no progress recorded"
+        assert all(p["rows_per_sec"] > 0 for p in prog)
+        assert all(p["batch_duration_ms"] > 0 for p in prog)
+    finally:
+        q.stop()
