@@ -315,12 +315,30 @@ def _merge_cow(
     payload: list[str],
     touched: list[int],
 ) -> tuple[dict[str, list[str]], set[int]]:
-    """Copy-on-write MERGE: bucket-pruned full-outer join, LWW winner per
-    row, rewrite only touched buckets (Iceberg CoW MERGE INTO analogue,
-    SURVEY.md J3 / /root/reference/src/handler/arangodb.rs:220,235,302).
+    """Copy-on-write MERGE: bucket-pruned, rewrite only touched buckets
+    (Iceberg CoW MERGE INTO analogue, SURVEY.md J3 /
+    /root/reference/src/handler/arangodb.rs:220,235,302).
     `touched` is bounded metadata (≤ n_buckets ints), not data.
+
+    Default implementation (round 2): UNION the pruned target with the
+    deduped batch and hash-reduce per key (`lww_resolve` max_by) — one
+    partial-aggregating shuffle, no join, and it tolerates multi-row-
+    per-key targets (e.g. a table previously written MoR). The original
+    full-outer-join formulation is kept behind
+    SPARK_GRAFT_COW_IMPL=join for the recorded A/B.
     """
+    import os
+
     target = table.read_stored(spark, buckets=touched, manifest=manifest)
+
+    if os.environ.get("SPARK_GRAFT_COW_IMPL", "reduce") == "reduce":
+        from arango_etl_spark.plans.lakehouse import lww_resolve
+
+        merged = lww_resolve(
+            target.unionByName(src.drop("_bucket")), key_col
+        ).withColumn("_bucket", table.bucket_expr(F.col(key_col), manifest))
+        _, files = table.stage_write(merged)
+        return files, set(touched)
 
     stored_cols = [c for c in src.columns if c != "_bucket"]
     lww = lambda side: F.struct(  # noqa: E731
