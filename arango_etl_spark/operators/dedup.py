@@ -269,11 +269,24 @@ def embedding_near_dup_pairs(
     bucketed = embeddings.withColumn("_bits", bits).select(
         id_col,
         vec_col,
+        # portable bucket hash ("t|<table>|<bitstring>" md5-prefix) so the
+        # whole near-dup pipeline has a DuckDB oracle (parity)
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_tables - 1)),
-                lambda t: F.xxhash64(
-                    t, F.slice(F.col("_bits"), t * n_planes + 1, n_planes)
+                lambda t: portable_hash60(
+                    F.concat(
+                        F.lit("t|"),
+                        t.cast("string"),
+                        F.lit("|"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("_bits"), t * n_planes + 1, n_planes),
+                                lambda b: b.cast("string"),
+                            ),
+                            "",
+                        ),
+                    )
                 ),
             )
         ).alias("_bucket"),

@@ -1260,17 +1260,67 @@ def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 38. embedding_near_dups — cosine near-duplicate pairs via multi-table
-# hyperplane LSH + exact confirm (training-data op). The hyperplane bucket
-# hash is not SQL-portable → rows-only driver check; exactness is covered
-# by pytest (every emitted pair's cos_sim is exact and >= threshold).
+# hyperplane LSH + exact confirm (training-data op). Round 2: plane
+# weights are driver-side literals and the bucket hash is md5-portable,
+# so the FULL pipeline — 48 hyperplane signs, 6 tables × 8-bit buckets,
+# capped pair generation, exact cosine confirm — has a DuckDB oracle
+# (weights embedded as literal arrays; dim=64 across all testdata sfs).
 # --------------------------------------------------------------------------
-@_register("embedding_near_dups", None)
+def _emb_neardup_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 6,
+                     threshold: float = 0.25) -> str:
+    from arango_etl_spark.operators.similarity import _plane_weights
+
+    ws = _plane_weights(dim, n_planes * n_tables, seed=7)
+    rows = ",\n ".join(f"({p}, {ws[p]})" for p in range(n_planes * n_tables))
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES {rows}) pl(p, w)),
+bits AS (
+    SELECT e.vec_id, pl.p,
+           CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w)
+                     >= 0 THEN 1 ELSE 0 END AS b
+    FROM embeddings e CROSS JOIN planes pl
+), tb AS (
+    SELECT vec_id, p // {n_planes} AS t,
+           string_agg(CAST(b AS VARCHAR), '' ORDER BY p) AS bs
+    FROM bits GROUP BY vec_id, p // {n_planes}
+), bucketed AS (
+    SELECT vec_id,
+           CAST(('0x' || substr(md5('t|' || CAST(t AS VARCHAR) || '|' || bs),
+                                1, 15)) AS BIGINT) AS bucket
+    FROM tb
+), sized AS (
+    SELECT bucket FROM bucketed GROUP BY bucket
+    HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000
+), pairs AS (
+    SELECT DISTINCT m1.vec_id AS doc_a, m2.vec_id AS doc_b
+    FROM bucketed m1 JOIN sized USING (bucket)
+    JOIN bucketed m2 ON m1.bucket = m2.bucket AND m1.vec_id < m2.vec_id
+)
+SELECT doc_a, doc_b, cos_sim FROM (
+    SELECT doc_a, doc_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cos_sim
+    FROM pairs
+    JOIN embeddings a ON a.vec_id = doc_a
+    JOIN embeddings b ON b.vec_id = doc_b
+)
+WHERE cos_sim >= {threshold}
+"""
+
+
+@_register("embedding_near_dups", _emb_neardup_sql())
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arango_etl_spark.operators.dedup import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.9)
+    return embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.25, n_planes=8, n_tables=6
+    )
 
 
 # --------------------------------------------------------------------------
