@@ -1391,6 +1391,39 @@ def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+# --------------------------------------------------------------------------
+# 41. windowed_event_counts — tumbling event-time window aggregation (the
+# batch form of streaming/windows.py's watermarked metrics; SURVEY ST8).
+# Epoch-aligned 1-hour windows == DuckDB time_bucket. Aggregates are
+# order-independent (count/min/max) so the compare is float-exact.
+# --------------------------------------------------------------------------
+_WINDOWED_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@_register("windowed_event_counts", _WINDOWED_SQL)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "min_value", "max_value",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
