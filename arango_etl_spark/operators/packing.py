@@ -34,15 +34,34 @@ def pack_sequences(
     tokens_col: str = "tokens",
     order_col: str = "doc_id",
     group_cols: list[str] | None = None,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Pack token arrays into fixed ``chunk_len`` chunks per group.
 
-    Returns (group_cols..., chunk_id, n_tok, first_token, last_token,
-    token_sum) — chunk stats rather than the materialized array so the
-    result is hash-comparable; ``n_tok == chunk_len`` for every chunk
-    except each group's last.
+    Returns (group_cols..., [shard,] chunk_id, n_tok, first_token,
+    last_token, token_sum) — chunk stats rather than the materialized
+    array so the result is hash-comparable; ``n_tok == chunk_len`` for
+    every chunk except each (group, shard)'s last.
+
+    SKEW (100 TB): the offset window serializes each group into ONE task
+    — with a handful of coarse groups (e.g. 8 sources) that is a hot-key
+    wall. ``n_shards > 1`` adds a deterministic sub-shard
+    (portable_hash(order_col) % n_shards) to the window key, bounding any
+    task to ~1/n_shards of a group. Packing needs determinism, not a
+    single global order, so sharding is the standard trade: up to
+    ``groups × n_shards`` partially-filled tail chunks in exchange for
+    full parallelism.
     """
-    group_cols = group_cols or []
+    group_cols = list(group_cols or [])
+    if n_shards > 1:
+        docs = docs.withColumn(
+            "shard",
+            F.pmod(
+                portable_hash60(F.col(order_col).cast("string")),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        group_cols = group_cols + ["shard"]
     w = (
         Window.partitionBy(*group_cols).orderBy(order_col)
         if group_cols

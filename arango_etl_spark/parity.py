@@ -1332,27 +1332,29 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_SQL = f"""
 WITH d AS (
     SELECT source, doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 4 AS INTEGER) AS shard,
            {tokens_sql("doc_id", "doc_id")} AS tokens,
            {n_tok_sql("doc_id", "doc_id")}  AS n
     FROM documents
 ), off AS (
-    SELECT source, tokens,
-           sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n AS o
+    SELECT source, shard, tokens,
+           sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id) - n AS o
     FROM d
 ), tok AS (
     -- no WITH ORDINALITY in this DuckDB build: index via generate_series
     -- (token arrays are <= 65 long by the tokenizer formula)
-    SELECT source, o + i - 1 AS gpos, tokens[i] AS tok
+    SELECT source, shard, o + i - 1 AS gpos, tokens[i] AS tok
     FROM off CROSS JOIN generate_series(1, 65) t(i)
     WHERE i <= len(tokens)
 )
-SELECT source,
+SELECT source, shard,
        CAST(floor(gpos / 256.0) AS BIGINT) AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_tok,
        arg_min(tok, gpos) AS first_token,
        arg_max(tok, gpos) AS last_token,
        CAST(sum(tok) AS BIGINT) AS token_sum
-FROM tok GROUP BY source, CAST(floor(gpos / 256.0) AS BIGINT)
+FROM tok GROUP BY source, shard, CAST(floor(gpos / 256.0) AS BIGINT)
 """
 
 
@@ -1367,7 +1369,8 @@ def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_expr(F.col("doc_id"), F.col("doc_id")).alias("tokens"),
     )
     return pack_sequences(
-        d, chunk_len=256, order_col="doc_id", group_cols=["source"]
+        d, chunk_len=256, order_col="doc_id", group_cols=["source"],
+        n_shards=4,
     )
 
 
