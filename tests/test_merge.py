@@ -227,3 +227,53 @@ def test_cow_only_rewrites_touched_buckets(spark, tmp_path):
     m2 = t.manifest()
     changed = [b for b in m2["files"] if m2["files"][b] != m1["files"].get(b)]
     assert len(changed) == 1
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_all_delete_log_yields_empty_table(spark, tmp_path, strategy):
+    """A log of only deletes (keys never inserted): tombstones stored,
+    public read is empty, and a later lower-seq insert still loses."""
+    t = mk_table(tmp_path, f"alldel_{strategy}")
+    apply_changes(
+        spark, t,
+        mk_events(spark, [ev("delete", f"d{i}", 10 + i, None) for i in range(5)]),
+        strategy=strategy,
+    )
+    assert t.read(spark).count() == 0
+    apply_changes(
+        spark, t, mk_events(spark, [ev("insert", "d0", 3, [1])]),
+        strategy=strategy,
+    )
+    assert t.read(spark).count() == 0  # tombstone seq 10 beats insert seq 3
+
+
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_empty_batch_is_noop_commitless(spark, tmp_path, strategy):
+    """apply_changes on an empty frame must not corrupt the table (commits
+    an empty version or skips — read state unchanged either way)."""
+    t = mk_table(tmp_path, f"empty_{strategy}")
+    apply_changes(
+        spark, t, mk_events(spark, [ev("insert", "a", 1, [1])]),
+        strategy=strategy,
+    )
+    before = t.read(spark).toPandas()
+    empty = mk_events(spark, [ev("insert", "x", 1, [1])]).limit(0)
+    apply_changes(spark, t, empty, strategy=strategy)
+    assert_states_equal(t.read(spark).toPandas(), before)
+
+
+def test_unicode_text_dedup_roundtrip(spark):
+    """Near-dup + fingerprint ops handle non-ASCII text (md5 over UTF-8)."""
+    from arango_etl_spark.operators import dedup, text
+
+    rows = [
+        (1, "héllo wörld füll of ünïcode tokens and more words here ok"),
+        (2, "héllo wörld füll of ünïcode tokens and more words here ok!"),
+        (3, "日本語 の テキスト データ パイプライン 処理 テスト 完全 に 異なる"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(df, n_hashes=32, n_bands=16).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    fp = text.fingerprint(df).collect()
+    assert len({r["content_md5"] for r in fp}) == 3
