@@ -102,6 +102,32 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII / boilerplate scrub patterns — deliberately lookaround-free so the
+# same pattern text runs identically under Java regex (Spark) and RE2
+# (DuckDB oracle).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "phone": (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard pre-training scrub: replace emails/URLs/phone numbers with
+    typed placeholder tokens and count the redactions per doc. Pure
+    columnar regexp_replace chain (codegen'd, no UDF)."""
+    out = F.col(text_col)
+    n_red = F.lit(0).cast("long")
+    for pat, token in PII_PATTERNS.values():
+        # count via occurrence arithmetic on the PRE-replacement text of
+        # this stage: size(split(x, pat)) - 1
+        n_red = n_red + F.size(F.split(out, pat)) - 1
+        out = F.regexp_replace(out, pat, token)
+    return docs.select(
+        "*", out.alias("clean_text"), n_red.alias("n_redactions")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling/content fingerprints: md5 of normalized text + a 64-bit
     order-sensitive polynomial hash over word hashes (so permuted word

@@ -1427,6 +1427,42 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 42. redact_pii_docs — pre-training PII scrub (emails/URLs/phones →
+# placeholder tokens) + per-doc redaction count (operators/text.py;
+# lookaround-free patterns run identically under Java regex and RE2).
+# --------------------------------------------------------------------------
+def _pii_sql() -> str:
+    from arango_etl_spark.operators.text import PII_PATTERNS
+
+    lines, counts = [], []
+    for i, (pat, token) in enumerate(PII_PATTERNS.values(), start=1):
+        carried = "".join(f", c{j}" for j in range(1, i))
+        lines.append(
+            f", s{i} AS (SELECT doc_id"
+            f", len(regexp_split_to_array(t{i-1}, '{pat}')) - 1 AS c{i}"
+            f", regexp_replace(t{i-1}, '{pat}', '{token}', 'g') AS t{i}"
+            f"{carried} FROM s{i-1})"
+        )
+        counts.append(f"c{i}")
+    n = len(counts)
+    return (
+        "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents)"
+        + "".join(lines)
+        + f" SELECT doc_id, t{n} AS clean_text,"
+          f" CAST({' + '.join(counts)} AS BIGINT) AS n_redactions FROM s{n}"
+    )
+
+
+@_register("redact_pii_docs", _pii_sql())
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "clean_text", "n_redactions"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -275,3 +275,17 @@ def test_deterministic_sample_is_stable_and_exactish(spark, docs):
     assert 0.15 * n <= len(a) <= 0.45 * n  # md5-uniform-ish at permille 300
     sub = {r["doc_id"] for r in deterministic_sample(docs, 100).select("doc_id").collect()}
     assert sub <= a  # nested: smaller permille is a subset
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at john.doe@example.com or visit https://x.io/page?q=1 now"),
+        (2, "call +1 (555) 123-4567 today"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["clean_text"] and "<URL>" in out[1]["clean_text"]
+    assert out[1]["n_redactions"] == 2
+    assert "<PHONE>" in out[2]["clean_text"] and out[2]["n_redactions"] == 1
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_redactions"] == 0
