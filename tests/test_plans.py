@@ -71,3 +71,17 @@ def test_anti_join_broadcasts(spark):
     done = spark.range(0, 100).select(F.col("id").alias("key"))
     out = files.join(F.broadcast(done), "key", "left_anti")
     assert explain.uses_broadcast_join(out)
+
+
+def test_minhash_simhash_hash_once_in_plan(spark):
+    """The base md5 must appear exactly ONCE in the physical plan — the
+    32 affine minhashes / 64 simhash bit votes derive from the aliased
+    column, and CollapseProject must not inline the non-cheap md5 into
+    every derivation (round-1 VERDICT #5/#8)."""
+    from arango_etl_spark.operators.dedup import minhash_signatures, simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = explain.physical_plan(minhash_signatures(docs, n_hashes=32))
+    assert p1.count("md5") == 1, p1[:2000]
+    p2 = explain.physical_plan(simhash(docs))
+    assert p2.count("md5") == 1, p2[:2000]
