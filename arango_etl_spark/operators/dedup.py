@@ -351,3 +351,42 @@ def jaccard_ngram_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= min_overlap
+    distinct word n-grams with an evaluation set (the standard 13-gram
+    exact-overlap test, parameterized down for word-level corpora).
+
+    Shape for 100 TB: the benchmark side is tiny (eval sets are KBs-MBs)
+    → its distinct shingles BROADCAST; the corpus side stays map-side
+    until one aggregation per contaminated doc. Returns
+    (doc_id, n_shared_ngrams, contaminated).
+    """
+    doc_sh = shingles(docs, text_col, ngram, id_col)
+    bench_sh = (
+        shingles(benchmark, text_col, ngram, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(bench_sh), "shingle").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shared_ngrams")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1463,6 +1463,49 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 43. contamination_check — benchmark decontamination: flag training docs
+# sharing word n-grams with a (simulated) eval set = docs with
+# doc_id % 20 == 0 (operators/dedup.py contamination_flags; the standard
+# exact n-gram-overlap test, benchmark side broadcast).
+# --------------------------------------------------------------------------
+_CONTAM_SQL = r"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, greatest(len(w) - 3, 0)),
+                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        FROM ws)
+    WHERE shingle <> ''
+), bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), hits AS (
+    SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM sh JOIN bench USING (shingle)
+    GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       COALESCE(h.n_shared_ngrams, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+@_register("contamination_check", _CONTAM_SQL)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(20)) == 0)
+    return contamination_flags(docs, bench, ngram=3, min_overlap=1)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -289,3 +289,25 @@ def test_redact_pii(spark):
     assert out[1]["n_redactions"] == 2
     assert "<PHONE>" in out[2]["clean_text"] and out[2]["n_redactions"] == 1
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_redactions"] == 0
+
+
+def test_contamination_flags(spark):
+    """Docs overlapping the benchmark's n-grams are flagged; others not;
+    benchmark members flag themselves (shared shingles by identity)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox stole my benchmark sentence verbatim"),
+            (3, "entirely unrelated content about databases and engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox appears in this eval set")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.contamination_flags(docs, bench, ngram=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_shared_ngrams"] >= 2
+    assert out[2]["contaminated"]  # shares 'quick brown fox'
+    assert not out[3]["contaminated"] and out[3]["n_shared_ngrams"] == 0
