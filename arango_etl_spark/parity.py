@@ -1100,6 +1100,55 @@ def wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 34b. bmp_features — REAL image decode: deterministic 24-bit BMP bytes
+# synthesized per doc (struct-packed headers, bottom-up padded rows inside
+# mapInPandas), then parsed back by the numpy decoder. The pixel formula
+# (w = 4 + doc_id%5, h = 4 + doc_id%3; channel value
+# (doc_id*31 + p*7 + c*13) % 256 for raster pixel p, channel c∈{B,G,R})
+# is mirrored in DuckDB, so the oracle value-checks the actual binary
+# decode — including row padding (w ∈ {5,6,7}) and the bottom-up flip
+# (top_left_sum is the IMAGE-top-left pixel, which lives in the LAST
+# file row).
+# --------------------------------------------------------------------------
+_BMP_SQL = """
+WITH d AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+), px AS (
+    SELECT doc_id, w, h, i // 3 AS p, i % 3 AS c,
+           (doc_id*31 + (i // 3)*7 + (i % 3)*13) % 256 AS v
+    FROM d CROSS JOIN generate_series(0, 143) t(i)
+    WHERE i < 3 * w * h
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_b,
+       round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+       round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_r,
+       CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT) AS top_left_sum
+FROM px GROUP BY doc_id
+"""
+
+
+@_register("bmp_features", _BMP_SQL)
+def bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = decode_bmp_features(synthesize_bmp(docs))
+    return feats.select(
+        "doc_id", "width", "height",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+        "top_left_sum",
+    )
+
+
+# --------------------------------------------------------------------------
 # 35. jaccard_pairs — exact n-gram Jaccard over inverted-index candidates
 # (training-data op; operators/dedup.py jaccard_ngram_pairs). Pure
 # set-arithmetic → full DuckDB oracle.

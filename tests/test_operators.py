@@ -178,7 +178,44 @@ def test_multimodal_plumbing(spark, docs):
 
 def test_multimodal_real_decode_stubbed():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"bytes", fake=False)
+        multimodal.decode_video_stub(b"bytes", fake=False)
+
+
+def test_bmp_roundtrip_exact():
+    """_bmp_encode/_bmp_decode round-trip, including padded widths and the
+    bottom-up row flip (a decoder that forgets the flip returns the last
+    image row as row 0 — caught by the asymmetric pixel formula)."""
+    import numpy as np
+
+    rng = [(5, 4), (8, 6), (4, 5), (7, 3), (1, 1)]  # widths needing padding
+    for w, h in rng:
+        px = (np.arange(w * h * 3, dtype=np.int64) * 37 % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        back = multimodal._bmp_decode(multimodal._bmp_encode(px))
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+
+
+def test_bmp_features_spark(spark, docs):
+    """Spark-side BMP synth+decode matches a direct numpy recomputation of
+    the synthesis formula (the DuckDB oracle mirrors the same formula)."""
+    import numpy as np
+
+    feats = multimodal.decode_bmp_features(
+        multimodal.synthesize_bmp(docs.limit(20))
+    ).collect()
+    assert len(feats) == 20
+    for r in feats:
+        d = r["doc_id"]
+        w, h = 4 + d % 5, 4 + d % 3
+        p = np.arange(w * h, dtype=np.int64)[:, None]
+        c = np.arange(3, dtype=np.int64)[None, :]
+        v = (d * 31 + p * 7 + c * 13) % 256
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["top_left_sum"] == int(v[0].sum())
+        assert abs(r["mean_b"] - v[:, 0].mean()) < 1e-9
+        assert abs(r["mean_r"] - v[:, 2].mean()) < 1e-9
 
 
 def test_embedding_near_dup_pairs(spark, emb):
