@@ -140,6 +140,30 @@ def test_cli_knobs_strategy_and_compaction(spark, events_dir, tmp_path):
     assert_states_equal(actual, expected)
 
 
+def test_config_equals_form_loaded():
+    """`--config=path` must load the TOML exactly like `--config path`
+    (previously accepted by argparse but silently ignored — ADVICE r2)."""
+    import tempfile
+
+    from arango_etl_spark.cli import _load_settings
+
+    with tempfile.NamedTemporaryFile("w", suffix=".toml", delete=False) as f:
+        f.write('buckets = 16\nstrategy = "cow"\n')
+        path = f.name
+    for argv in (["--config", path, "history"], [f"--config={path}", "history"]):
+        settings = _load_settings(argv)
+        assert settings["buckets"] == 16 and settings["strategy"] == "cow"
+
+
+def test_list_batch_ids_from_fs_metadata(spark, events_dir):
+    """History mode enumerates batches from `batch=*` dirs — filesystem
+    metadata, no data pass (round-2 VERDICT #4); non-hive dirs → None."""
+    from arango_etl_spark.cli import _list_batch_ids
+
+    assert _list_batch_ids(spark, events_dir) == [0, 1, 2]
+    assert _list_batch_ids(spark, "/root/testdata/sf0.001") is None
+
+
 def test_cli_toml_config_and_env_precedence(spark, events_dir, tmp_path):
     """The reference's settings surface (TOML + ARANGO_ETL_* env,
     settings.rs:56-112,134-146): config file supplies defaults, env

@@ -73,6 +73,23 @@ def test_anti_join_broadcasts(spark):
     assert explain.uses_broadcast_join(out)
 
 
+def test_jaccard_single_tokenization_pass(spark):
+    """jaccard_ngram_pairs must evaluate the shingle pipeline ONCE: the
+    per-doc size branch and the pair branch share one _bucket_groups
+    frame, so AQE's exchange reuse dedupes their identical
+    Exchange(hash(shingle)) subtrees at runtime — and the two size joins
+    (sz_a/sz_b) share the sizes exchange (round-2 VERDICT #3). Asserted
+    on the executed plan because AQE applies reuse at runtime, not in
+    the static explain."""
+    from arango_etl_spark.operators.dedup import jaccard_ngram_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = jaccard_ngram_pairs(docs, threshold=0.5)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed[:3000]
+
+
 def test_minhash_simhash_hash_once_in_plan(spark):
     """The base md5 must appear exactly ONCE in the physical plan — the
     32 affine minhashes / 64 simhash bit votes derive from the aliased
