@@ -43,13 +43,24 @@ def _cell_name(res: int, x: Column, y: Column) -> Column:
     )
 
 
-def _fmt(v: Column) -> Column:
-    """Coordinate → fixed-scale decimal string (identical in DuckDB).
+# Resolutions whose cell boundaries are EXACT at decimal scale 10: edges
+# are k·360/2^(res+1) = k·45/2^(res-2), i.e. dyadic doubles with res-2
+# decimal digits and ≤ 3+(res-2) significant digits. res ≤ 12 keeps that
+# under double's ~17-significant-digit shortest representation, so BOTH
+# engines print the identical exact string. Beyond 12 the engines
+# provably diverge — Spark pads the shortest repr with zeros while DuckDB
+# expands the binary value exactly (measured: res 20/28/30 all mismatch)
+# — so the oracle path is restricted to res ≤ 12 (ADVICE r2).
+ORACLE_EXACT_MAX_RES = 12
 
-    Scale 10 because cell edges are k·360/2^(res+1): binary-exact doubles
-    with ≤10 decimal digits — DECIMAL(17,10) represents them EXACTLY, so
-    no rounding happens and the engines' different tie-breaking modes
-    (Spark HALF_UP vs DuckDB HALF_EVEN) can never disagree."""
+
+def _fmt(v: Column) -> Column:
+    """Coordinate → fixed-scale decimal string (identical in DuckDB for
+    res ≤ ORACLE_EXACT_MAX_RES: exact representation → no rounding → the
+    engines' different tie-breaking modes can never disagree). For
+    res > 12 the geojson coordinates are ROUNDED to 10 decimals — a
+    documented precision loss (≤ 5e-11 degrees ≈ 6 µm) that is
+    deterministic within Spark but not oracle-comparable."""
     return v.cast("decimal(17,10)").cast("string")
 
 
@@ -83,13 +94,14 @@ def geo_enrich(
     clng = (x.cast("double") + F.lit(0.5)) * cw - F.lit(180.0)
     clat = (y.cast("double") + F.lit(0.5)) * ch - F.lit(90.0)
 
+    fmt = _fmt
     ring = F.concat(
         F.lit('{"type":"Polygon","coordinates":[[['),
-        _fmt(w), F.lit(","), _fmt(s), F.lit("],["),
-        _fmt(e), F.lit(","), _fmt(s), F.lit("],["),
-        _fmt(e), F.lit(","), _fmt(n), F.lit("],["),
-        _fmt(w), F.lit(","), _fmt(n), F.lit("],["),
-        _fmt(w), F.lit(","), _fmt(s), F.lit("]]]}"),
+        fmt(w), F.lit(","), fmt(s), F.lit("],["),
+        fmt(e), F.lit(","), fmt(s), F.lit("],["),
+        fmt(e), F.lit(","), fmt(n), F.lit("],["),
+        fmt(w), F.lit(","), fmt(n), F.lit("],["),
+        fmt(w), F.lit(","), fmt(s), F.lit("]]]}"),
     )
     return df.select(
         "*",
@@ -108,7 +120,14 @@ def geo_enrich_oracle_sql(
     """DuckDB query producing the identical five columns over ``source_cte``
     (the oracle twin of geo_enrich — operation order matches term for term,
     and float literals use Python repr so both engines parse the same
-    binary-exact double)."""
+    binary-exact double). Raises for res > ORACLE_EXACT_MAX_RES: beyond
+    that the engines' double→decimal casts provably diverge (see _fmt)."""
+    if res > ORACLE_EXACT_MAX_RES:
+        raise ValueError(
+            f"geo oracle is exact only for res <= {ORACLE_EXACT_MAX_RES}; "
+            f"got {res} (Spark pads the shortest double repr with zeros, "
+            "DuckDB expands the binary value — strings diverge)"
+        )
     nx, ny = 1 << (res + 1), 1 << res
     shift = res - parent_res
     cw, ch = repr(360.0 / nx), repr(180.0 / ny)

@@ -271,6 +271,26 @@ def test_geo_cell_roundtrip_and_parent(spark):
         assert w <= r["cell_lng"] <= e and s <= r["cell_lat"] <= n
 
 
+def test_geo_oracle_res_restriction(spark):
+    """The oracle-exact path is restricted to res <= 12 (ADVICE r2: the
+    engines' double→decimal casts diverge beyond it); geo_enrich itself
+    still honors the parent contract at high res."""
+    import pytest as _pytest
+
+    from arango_etl_spark.operators import geo
+
+    with _pytest.raises(ValueError, match="res <= 12"):
+        geo.geo_enrich_oracle_sql("SELECT 1", "lat", "lng", res=20)
+    pts = spark.createDataFrame(
+        [(1, 37.5, -122.3)], "user_id long, lat double, lng double"
+    )
+    r = geo.geo_enrich(pts, "lat", "lng", res=20, parent_res=12).first()
+    # parent index = child index >> (res - parent_res), per cell ids
+    cx, cy = map(int, r["cell"].split("_")[1:])
+    px, py = map(int, r["parent_cell"].split("_")[1:])
+    assert (px, py) == (cx >> 8, cy >> 8)
+
+
 # --------------------------------------------------------------- packing
 def test_pack_sequences_invariants(spark):
     """Every chunk except each group's last is exactly chunk_len; token
@@ -285,7 +305,7 @@ def test_pack_sequences_invariants(spark):
     ]
     df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
     out = pack_sequences(df, chunk_len=8, order_col="doc_id",
-                         group_cols=["source"]).collect()
+                         group_cols=["source"], n_shards=1).collect()
     by_group: dict = {}
     for r in out:
         by_group.setdefault(r["source"], []).append(r)
@@ -300,6 +320,57 @@ def test_pack_sequences_invariants(spark):
     # deterministic packing: first chunk of s1 = docs 1..2 concatenated
     s1c0 = [r for r in out if r["source"] == "s1" and r["chunk_id"] == 0][0]
     assert (s1c0["first_token"], s1c0["last_token"]) == (0, 7)
+
+
+def test_pack_sequences_auto_shards_single_group(spark):
+    """Auto n_shards (default): a 1-group input must fan out to multiple
+    shards when parallelism allows — the group no longer serializes into
+    one window task (round-2 VERDICT #5). Conservation still holds."""
+    from arango_etl_spark.operators.packing import pack_sequences
+
+    rows = [("s", i, list(range(i % 7 + 1))) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, tokens array<int>"
+    )
+    out = pack_sequences(df, chunk_len=16, order_col="doc_id",
+                         group_cols=["source"]).collect()
+    assert "shard" in out[0].asDict()
+    n_shards = len({r["shard"] for r in out})
+    par = spark.sparkContext.defaultParallelism
+    assert n_shards > 1 or par == 1
+    assert sum(r["n_tok"] for r in out) == sum(len(t) for _, _, t in rows)
+    # per (group, shard): all chunks full except the last
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for chunks in by_shard.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert all(c["n_tok"] == 16 for c in chunks[:-1])
+
+
+def test_pack_sequences_duplicate_order_keys(spark):
+    """Duplicate order_col values must yield structurally valid chunks
+    (distinct offsets via the ROWS frame — ADVICE r2: the RANGE frame gave
+    ties identical offsets, overlapping positions, corrupt n_tok), and
+    validate_unique=True must refuse them."""
+    import pytest as _pytest
+
+    from arango_etl_spark.operators.packing import pack_sequences
+
+    rows = [("s", 1, [1, 2, 3]), ("s", 1, [4, 5]), ("s", 2, [6, 7, 8, 9])]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, tokens array<int>"
+    )
+    out = pack_sequences(df, chunk_len=4, order_col="doc_id",
+                         group_cols=["source"], n_shards=1).collect()
+    assert sum(r["n_tok"] for r in out) == 9          # conserved, no overlap
+    chunks = sorted(out, key=lambda r: r["chunk_id"])
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2]
+    assert [c["n_tok"] for c in chunks] == [4, 4, 1]  # only the tail short
+    with _pytest.raises(ValueError, match="duplicate"):
+        pack_sequences(df, chunk_len=4, order_col="doc_id",
+                       group_cols=["source"], n_shards=1,
+                       validate_unique=True)
 
 
 def test_deterministic_sample_is_stable_and_exactish(spark, docs):

@@ -46,6 +46,33 @@ def test_json_reader_skips_corrupt_lines(spark, tmp_path):
     assert_states_equal(t.read(spark).toPandas(), expected)
 
 
+def test_corrupt_count_exact_after_partial_action(spark, tmp_path):
+    """A partial action (take/limit/isEmpty) before reading corrupt_count
+    must NOT undercount — the metric runs its own full aggregate, immune
+    to short-circuited scans (ADVICE r2 medium: the Observation-based
+    design was silently poisoned by whichever action completed first)."""
+    import glob
+    import os
+
+    events = generate_events(spark, CFG)
+    p = str(tmp_path / "ev_json")
+    events.coalesce(1).write.json(p)
+    f = glob.glob(f"{p}/part-*.json")[0]
+    with open(f, "a") as fh:
+        fh.write("corrupt line one\n")
+        fh.write("corrupt line two\n")
+        fh.write("corrupt line three\n")
+    for crc in glob.glob(f"{p}/.*.crc"):
+        os.unlink(crc)
+    res = read_events_json(spark, p)
+    # partial actions first — these short-circuit the scan
+    res.events.take(1)
+    assert not res.events.limit(5).isEmpty()
+    assert res.corrupt_count == 3
+    # repeated reads are cached, still exact
+    assert res.corrupt_count == 3
+
+
 def test_csv_reader_roundtrip(spark, tmp_path):
     events = (
         generate_events(spark, CFG)
