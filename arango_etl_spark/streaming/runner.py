@@ -61,6 +61,12 @@ class IngestConfig:
     # this many recorded failures an epoch is skipped and marked 'poisoned'
     # instead of wedging the stream forever. Requires a LineageLog.
     max_retries: int = 3
+    # snapshot GC cadence: every N applied epochs, expire manifests older
+    # than the last `expire_keep_last` versions (bounds manifest count on
+    # long-running streams; 0 = never). keep_last >= 2 preserves the
+    # previous snapshot for readers mid-swap.
+    expire_every: int = 0
+    expire_keep_last: int = 4
 
 
 def run_ingest(
@@ -130,6 +136,13 @@ def run_ingest(
                 dedup=cfg.dedup,
                 compact_every=cfg.compact_every,
             )
+            if (
+                cfg.expire_every
+                and not res.skipped
+                and epoch_id > 0
+                and epoch_id % cfg.expire_every == 0
+            ):
+                table.expire_snapshots(keep_last=cfg.expire_keep_last)
             if lineage is not None and not res.skipped:
                 lineage.record_batch(
                     batch_df,

@@ -31,9 +31,28 @@ def test_iceberg_adapter_contract(spark, tmp_path):
     iceberg_sink.merge_batch(spark, ident, b1, 1, "cdc")
     rows = iceberg_sink.read_public(spark, ident).collect()
     assert [list(r["tokens"]) for r in rows] == [[3, 3]]
+    # single-snapshot fence: the fence property must ride a DATA snapshot's
+    # summary (CommitMetadata path), not only TBLPROPERTIES — i.e. the
+    # commit that applied batch 1 carries fence.cdc=1 in its own summary
+    summaries = spark.sql(
+        f"SELECT summary['fence.cdc'] AS f FROM {ident}.snapshots"
+    ).collect()
+    assert any(r["f"] == "1" for r in summaries), summaries
+    assert iceberg_sink.last_batch_id(spark, ident, "cdc") == 1
     _ = F
 
 
 def test_is_available_false_without_jar(spark):
     # in this image the jar is absent: the adapter must gate cleanly
     assert iceberg_sink.is_available(spark) in (False,)
+
+
+def test_commit_properties_hook_gates_cleanly(spark):
+    """Without the Iceberg jar, _run_with_commit_properties must return
+    False WITHOUT invoking the wrapped function (merge_batch then takes
+    the ordered data-then-fence fallback)."""
+    ran = []
+    ok = iceberg_sink._run_with_commit_properties(
+        spark, {"fence.x": "1"}, lambda: ran.append(1)
+    )
+    assert ok is False and ran == []

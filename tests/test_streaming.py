@@ -194,3 +194,58 @@ def test_stream_progress_surface(spark, tmp_path, events_dir):
         assert all(p["batch_duration_ms"] > 0 for p in prog)
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_soak_long_stream_with_compaction_expiry_and_two_kills(
+    spark, tmp_path
+):
+    """Soak (round-2 VERDICT next-8): 50 micro-batches with compaction AND
+    snapshot expiry interleaved in the runner loop, killed and resumed
+    TWICE mid-replay — final state must equal the oracle and the manifest
+    count must stay bounded by the expiry cadence (previously fence,
+    compaction and expiry were only tested separately)."""
+    import os as _os
+
+    soak_cfg = GeneratorConfig(
+        n_events=25_000, n_docs=900, n_batches=50, seed=77
+    )
+    d = str(tmp_path / "soak_events")
+    write_event_batches(spark, soak_cfg, d)
+    t = mk_table(tmp_path, "soak")
+    ckpt = str(tmp_path / "ckpt")
+    base = dict(
+        max_files_per_trigger=1,   # one generator batch per epoch → 50 epochs
+        compact_every=2,           # force frequent MoR compactions
+        expire_every=10,
+        expire_keep_last=4,
+    )
+    for fail_at in (7, 23):       # two kills at different depths
+        with pytest.raises(Exception, match="injected failure"):
+            run_ingest(
+                spark, d, t, ckpt,
+                cfg=IngestConfig(fail_batches=frozenset({fail_at}), **base),
+            )
+        # epoch fail_at replays with the SAME id on resume; drop the
+        # injection for the next leg
+    run_ingest(spark, d, t, ckpt, cfg=IngestConfig(**base))
+
+    actual = t.read(spark).toPandas()
+    expected = reduce_events_duckdb(f"{d}/batch=*/*.parquet")
+    assert_states_equal(actual, expected)
+
+    # expiry kept the manifest set bounded: at most keep_last survivors
+    # plus the commits since the last expiry tick (< expire_every)
+    manifests = [
+        f for f in _os.listdir(t.meta_dir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    assert len(manifests) <= base["expire_keep_last"] + base["expire_every"], (
+        len(manifests)
+    )
+    # fence survived expiry (it rides the latest summary, merged forward)
+    assert t.last_batch_id("cdc") is not None
+    # compaction actually ran: delta depth is bounded per bucket
+    m = t.manifest()
+    per_bucket = [len(fs) for fs in m["files"].values()]
+    assert max(per_bucket, default=0) <= 2 * base["compact_every"] + 1
