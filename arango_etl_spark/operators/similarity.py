@@ -173,3 +173,124 @@ def lsh_cosine_topk(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------- IVF path
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    second scale path next to LSH (round-2 VERDICT similarity table):
+
+    1. CENTROIDS: the ``n_centroids`` vectors whose ids have the smallest
+       portable md5 hash (deterministic, data-dependent, no RNG state, and
+       reproducible in the DuckDB oracle — parity.ivf_topk). Collected to
+       the driver as literals: n_centroids × dim floats, the same bounded
+       class as the LSH plane weights, never event data.
+    2. ASSIGN (map-only): every vector joins its argmax-cosine centroid via
+       a greatest() over n_centroids struct expressions — JVM codegen, no
+       shuffle, no UDF. Ties break to the lowest centroid id on the
+       ROUNDED (6 dp) similarity so both engines agree.
+    3. PROBE: per query, the ``n_probe`` nearest centroids; only vectors
+       assigned to probed cells are exactly re-ranked. At 100 TB the
+       assign column is write-time state (partition/bucket the table by
+       it) and a probe touches n_probe/n_centroids of the data — the scan
+       reduction IS the point; the LSH path trades recall differently
+       (bitwise collision vs spatial cells).
+
+    With ``n_probe == n_centroids`` the result equals exact cosine_topk
+    (pytest-pinned); the query row itself is a legal candidate (sim 1.0).
+    """
+    from pyspark.sql import Window
+
+    from arango_etl_spark.operators.dedup import portable_hash60
+
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.select(
+            id_col, vec_col,
+            portable_hash60(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [
+        (cid, [float(x) for x in r[vec_col]])
+        for cid, r in enumerate(cent_rows)
+    ]
+
+    def _lit_vec(vec: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in vec])
+
+    def _sim(col: Column, vec: list[float]) -> Column:
+        # UNROUNDED: both engines compute the identical IEEE operation
+        # sequence, so the doubles are bit-identical and comparisons agree;
+        # rounding here would INTRODUCE divergence (Spark HALF_UP vs
+        # DuckDB HALF_EVEN on ties). Only the displayed cos_sim is rounded.
+        cl = _lit_vec(vec)
+        return _dot(col, cl) / (_norm(col) * _norm(cl))
+
+    if len(cents) > 1:
+        cluster = F.greatest(
+            *[
+                F.struct(
+                    _sim(F.col(vec_col), vec).alias("s"),
+                    F.lit(-cid).alias("nid"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in cents
+            ]
+        )["cid"]
+    else:
+        cluster = F.lit(0)
+    clustered = embeddings.withColumn("_cluster", cluster)
+
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, _cvec array<double>"
+    )
+    q = query.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("_csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "_csim",
+            _dot(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .where(F.col("_rk") <= n_probe)
+        .select(query_id_col, "cid", "_qvec")
+    )
+    cand = clustered.join(
+        F.broadcast(probes), clustered["_cluster"] == probes["cid"]
+    )
+    sims = cand.select(
+        query_id_col,
+        id_col,
+        (
+            _dot(F.col(vec_col), F.col("_qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
+        ).alias("_sim_raw"),
+    )
+    w_k = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim_raw").desc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("_rk", F.row_number().over(w_k))
+        .where(F.col("_rk") <= k)
+        .select(
+            query_id_col, id_col,
+            # display rounding only (4 dp — the float32-cosine convention)
+            F.round("_sim_raw", 4).alias("cos_sim"),
+        )
+    )

@@ -562,6 +562,73 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 19b. ivf_topk — the IVF scale path for ANN (operators/similarity.py
+# ivf_cosine_topk): hash-seeded deterministic centroids → map-side argmax
+# assignment → probe the 4 nearest cells → exact re-rank inside them.
+# The full algorithm (centroid choice, assignment tie-breaks, probe set,
+# re-rank) is mirrored in DuckDB — the oracle checks the ANN pipeline
+# itself, not its recall vs brute force.
+# --------------------------------------------------------------------------
+_IVF_SQL = """
+WITH h AS (
+    SELECT vec_id, embedding,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hh
+    FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+           embedding AS ce
+    FROM h ORDER BY hh, vec_id LIMIT 16
+), q AS (
+    SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), probe AS (
+    -- orderings use UNROUNDED doubles: both engines run the identical
+    -- IEEE op sequence, so comparisons agree bit-for-bit; round() here
+    -- would reintroduce the HALF_UP vs HALF_EVEN tie hazard
+    SELECT cid FROM cent, q
+    ORDER BY list_dot_product(ce, qe)
+             / (sqrt(list_dot_product(ce, ce))
+                * sqrt(list_dot_product(qe, qe))) DESC, cid ASC
+    LIMIT 4
+), assign AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding, c.ce)
+                        / (sqrt(list_dot_product(e.embedding, e.embedding))
+                           * sqrt(list_dot_product(c.ce, c.ce)))
+                        DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+), cand AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding, q.qe)
+           / (sqrt(list_dot_product(e.embedding, e.embedding))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS sim_raw
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+    JOIN q ON true
+    WHERE a.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, round(sim_raw, 4) AS cos_sim FROM cand
+ORDER BY sim_raw DESC, vec_id ASC LIMIT 10
+"""
+
+
+@_register("ivf_topk", _IVF_SQL)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.similarity import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(
+        e, q, k=10, n_centroids=16, n_probe=4
+    ).drop("query_id")
+
+
+# --------------------------------------------------------------------------
 # 20. pricing_summary — TPC-H Q1-style multi-agg (SURVEY.md §2.5 parity /
 # bench headline; exercises partial-agg + codegen)
 # --------------------------------------------------------------------------

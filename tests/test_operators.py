@@ -125,6 +125,39 @@ def test_lsh_topk_recall(spark, emb):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """IVF with n_probe == n_centroids degenerates to exact search: the
+    probed cells cover the whole space, so the top-k must equal brute
+    force (same raw-double ordering, same id tie-breaks); the self-hit
+    ranks first at cos 1.0. At n_probe < n_centroids the result is a
+    subset of the probed cells by construction."""
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    exact = [
+        (r["vec_id"], round(r["cos_sim"], 4))
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_cosine_topk(
+            emb, q, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+    assert full[0] == (0, 1.0)  # self-hit first
+    probed = similarity.ivf_cosine_topk(
+        emb, q, k=10, n_centroids=8, n_probe=2
+    ).collect()
+    assert 0 < len(probed) <= 10
+    assert set(r["vec_id"] for r in probed) <= set(
+        r["vec_id"]
+        for r in similarity.ivf_cosine_topk(
+            emb, q, k=10_000, n_centroids=8, n_probe=8
+        ).collect()
+    )
+
+
 # --------------------------------------------------------------------- text
 def test_language_id(spark):
     rows = [
