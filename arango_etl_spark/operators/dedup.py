@@ -355,6 +355,13 @@ def jaccard_ngram_pairs(
     tests/test_plans.py; round-2 VERDICT "what's wrong" #2). Shingles are
     distinct per doc (array_distinct upstream), so counting a doc's bucket
     memberships equals its shingle count.
+
+    CAVEAT: stage reuse holds for scan inputs. If the caller has
+    ``.cache()``d ``docs``, Spark substitutes the InMemoryRelation and
+    AQE re-plans each branch separately, losing the reuse (measured:
+    3 TableCacheQueryStages, 0 ReusedExchange) — over a cached input the
+    tokenization runs per branch again. Don't cache the input; the
+    shuffle materializes the inverted index once regardless.
     """
     sh = shingles(docs, text_col, ngram, id_col)
     grouped = _bucket_groups(sh, ["shingle"], id_col)

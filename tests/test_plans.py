@@ -80,9 +80,16 @@ def test_jaccard_single_tokenization_pass(spark):
     Exchange(hash(shingle)) subtrees at runtime — and the two size joins
     (sz_a/sz_b) share the sizes exchange (round-2 VERDICT #3). Asserted
     on the executed plan because AQE applies reuse at runtime, not in
-    the static explain."""
+    the static explain.
+
+    Pinned to the UNCACHED-input case: if any other session consumer has
+    .cache()d the same parquet, Spark's CacheManager substitutes the
+    InMemoryRelation and AQE then re-plans each branch separately,
+    dropping stage reuse (measured: 0 ReusedExchange, 3
+    TableCacheQueryStages — see jaccard_ngram_pairs docstring caveat)."""
     from arango_etl_spark.operators.dedup import jaccard_ngram_pairs
 
+    spark.catalog.clearCache()  # cross-test cache from module fixtures
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = jaccard_ngram_pairs(docs, threshold=0.5)
     df.collect()
