@@ -428,3 +428,77 @@ def contamination_flags(
             ),
         )
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    ngram: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate graph, labeled by the component's minimum doc id. Returns
+    (doc_id, cluster_id) for EVERY input doc (singletons label themselves)
+    — the grouping step that turns pairwise near-dup hits into "keep one
+    per cluster" dedup decisions.
+
+    Spark-first iterative shape (GraphX-style min-label propagation):
+    each round joins the symmetric edge list with current labels, takes
+    min(neighbor label, own label), and localCheckpoints the result —
+    truncating the lineage so the plan doesn't grow per iteration (the
+    standard iterative-algorithm pattern; plain loops stack O(iters)
+    joins into one plan). Convergence = component diameter rounds;
+    near-dup components are small and dense (typically 2-3 rounds).
+    The per-round driver action is a 1-row changed-count probe.
+
+    Deterministic fixpoint: min-label is order-free, so the result equals
+    the transitive closure's per-node minimum — which is exactly what the
+    DuckDB oracle computes with a recursive CTE (parity.neardup_clusters).
+    Raises if max_iters rounds don't converge (pathological chain graphs).
+    """
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, n_hashes, n_bands, ngram
+    ).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()  # materialize the signature pipeline ONCE
+
+    labels = (
+        docs.select(F.col(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels[id_col])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        new = (
+            labels.join(neigh, labels[id_col] == neigh["doc_a"], "left")
+            .select(
+                labels[id_col],
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iters} iterations"
+    )

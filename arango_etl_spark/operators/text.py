@@ -145,3 +145,63 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "*", F.md5(norm).alias("content_md5"), poly.alias("rolling_hash")
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate-word
+    fraction, top-word fraction, top-bigram fraction — the standard
+    "drop boilerplate / keyboard-mash documents" pre-training filter.
+
+    Outputs EXACT integer parts-per-million (floor((1e6*k)/n)) instead of
+    rounded doubles: ratios like 1/128 have a '5' exactly at the 7th
+    decimal, where Spark's HALF_UP and DuckDB's HALF_EVEN round()
+    disagree — integer ppm sidesteps the tie class entirely (the floor
+    of a double quotient is exact while 1e6*count < 2^53).
+
+    Plan shape (100 TB): one explode per gram order → (doc, gram) count
+    → per-doc max/sum; all partial-aggregating shuffles keyed by doc_id,
+    bounded per-task regardless of document skew. Docs with zero words
+    produce no row (no 0/0).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    # bigram construction mirrors dedup.shingles (n=2, multiset — no
+    # distinct): i -> words[i..i+2) joined; a 1-word doc yields the word
+    grams2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+    )
+
+    def _gram_stats(gram_col, prefix: str) -> DataFrame:
+        counts = (
+            docs.select(F.col(id_col), F.explode(gram_col).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        return counts.groupBy(id_col).agg(
+            F.sum("_c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("_c").alias(f"{prefix}_top"),
+        )
+
+    w = _gram_stats(words, "w")
+    b = _gram_stats(grams2, "b")
+
+    def _ppm(num, den):
+        return F.floor((F.lit(1_000_000) * num) / den).cast("long")
+
+    return (
+        w.join(b, id_col)
+        .select(
+            F.col(id_col),
+            F.col("w_total").alias("n_words"),
+            F.col("w_distinct").alias("n_distinct_words"),
+            _ppm(F.col("w_total") - F.col("w_distinct"), F.col("w_total"))
+            .alias("dup_word_ppm"),
+            _ppm(F.col("w_top"), F.col("w_total")).alias("top_word_ppm"),
+            _ppm(F.col("b_top"), F.col("b_total")).alias("top_bigram_ppm"),
+        )
+    )

@@ -670,8 +670,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full pipeline — shingling, 32 minhashes, 8-band LSH, bucket-capped pair
 # generation — has an exact DuckDB oracle.
 # --------------------------------------------------------------------------
-_MINHASH_SQL = r"""
-WITH ws AS (
+# CTE block shared by minhash_lsh_candidates and neardup_clusters (the
+# clusters oracle runs a recursive transitive closure over these pairs)
+_MINHASH_CTES = r"""ws AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\s+'),
                        w -> w <> '') AS w
@@ -709,7 +710,10 @@ WITH ws AS (
 ), mem AS (
     SELECT bands.doc_id, bands.b, bands.band_hash
     FROM bands JOIN sized USING (b, band_hash)
-)
+)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared_bands
 FROM mem m1
@@ -724,6 +728,47 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arango_etl_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=32, n_bands=8
+    )
+
+
+# --------------------------------------------------------------------------
+# 21b. neardup_clusters — connected components over the LSH candidate
+# graph (operators/dedup.py near_dup_clusters): cluster_id = min doc_id
+# in the component, singletons label themselves. Spark runs min-label
+# propagation to its (unique, order-free) fixpoint; the oracle computes
+# the same thing via a RECURSIVE transitive closure over the identical
+# pair CTEs — an iterative Spark algorithm under a full SQL oracle.
+# --------------------------------------------------------------------------
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES}, pairs AS (
+    SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+    FROM mem m1
+    JOIN mem m2 ON m1.b = m2.b AND m1.band_hash = m2.band_hash
+               AND m1.doc_id < m2.doc_id
+    GROUP BY m1.doc_id, m2.doc_id
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@_register("neardup_clusters", _CLUSTERS_SQL)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
         _t(spark, sf_dir, "documents"), n_hashes=32, n_bands=8
     )
 
@@ -1213,6 +1258,59 @@ def bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_r", 6).alias("mean_r"),
         "top_left_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# 34c. repetition_signals — Gopher-style repetition quality filter
+# (operators/text.py repetition_signals): duplicate-word / top-word /
+# top-bigram fractions as EXACT integer ppm (floor((1e6*k)/n)) — integer
+# outputs sidestep the round() HALF_UP vs HALF_EVEN tie class entirely
+# (e.g. 1/128 ties at the 7th decimal).
+# --------------------------------------------------------------------------
+_REPETITION_SQL = r"""
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), words AS (
+    SELECT doc_id, unnest(w) AS g FROM ws
+), wc AS (
+    SELECT doc_id, g, count(*) AS c FROM words GROUP BY doc_id, g
+), wagg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS w_total,
+           CAST(count(*) AS BIGINT) AS w_distinct,
+           CAST(max(c) AS BIGINT) AS w_top
+    FROM wc GROUP BY doc_id
+), bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i+1:i+2], ' '))) AS g
+    FROM ws
+), bc AS (
+    SELECT doc_id, g, count(*) AS c FROM bigrams GROUP BY doc_id, g
+), bagg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS b_total,
+           CAST(max(c) AS BIGINT) AS b_top
+    FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, w.w_total AS n_words, w.w_distinct AS n_distinct_words,
+       CAST(floor((1000000.0 * (w.w_total - w.w_distinct)) / w.w_total)
+            AS BIGINT) AS dup_word_ppm,
+       CAST(floor((1000000.0 * w.w_top) / w.w_total) AS BIGINT)
+           AS top_word_ppm,
+       CAST(floor((1000000.0 * b.b_top) / b.b_total) AS BIGINT)
+           AS top_bigram_ppm
+FROM wagg w JOIN bagg b USING (doc_id)
+"""
+
+
+@_register("repetition_signals", _REPETITION_SQL)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.text import repetition_signals as _rep
+
+    return _rep(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -125,6 +125,27 @@ def test_lsh_topk_recall(spark, emb):
     assert len(exact & approx) >= 5
 
 
+def test_repetition_signals_known_values(spark):
+    """Hand-computed Gopher-style repetition fractions (exact integer ppm
+    — no float rounding anywhere)."""
+    rows = [
+        (1, "a a a b"),        # 4 words, 2 distinct, top=3; bigrams:
+                               # 'a a','a a','a b' → top 2 of 3
+        (2, "x y z"),          # no repetition; bigrams 'x y','y z' top 1/2
+        (3, "w"),              # 1 word; bigram degenerates to 'w' (1/1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in text.repetition_signals(df).collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_distinct_words"] == 2
+    assert got[1]["dup_word_ppm"] == 500_000          # (4-2)/4
+    assert got[1]["top_word_ppm"] == 750_000          # 3/4
+    assert got[1]["top_bigram_ppm"] == 666_666        # floor(2e6/3)
+    assert got[2]["dup_word_ppm"] == 0
+    assert got[2]["top_word_ppm"] == 333_333
+    assert got[2]["top_bigram_ppm"] == 500_000
+    assert got[3]["top_bigram_ppm"] == 1_000_000
+
+
 def test_ivf_full_probe_equals_exact(spark, emb):
     """IVF with n_probe == n_centroids degenerates to exact search: the
     probed cells cover the whole space, so the top-k must equal brute
@@ -249,6 +270,40 @@ def test_bmp_features_spark(spark, docs):
         assert r["top_left_sum"] == int(v[0].sum())
         assert abs(r["mean_b"] - v[:, 0].mean()) < 1e-9
         assert abs(r["mean_r"] - v[:, 2].mean()) < 1e-9
+
+
+def test_near_dup_clusters_components(spark, docs):
+    """Planted clone groups collapse to one cluster labeled by the min
+    doc id; everything else labels itself; output covers every doc."""
+    from pyspark.sql import functions as F2
+
+    base = docs.limit(40).select("doc_id", "text")
+    clone_a = base.where(F2.col("doc_id") == 0).select(
+        F2.explode(F2.array(F2.lit(1001), F2.lit(1002), F2.lit(1003)))
+        .alias("doc_id"),
+        "text",
+    )
+    clone_b = base.where(F2.col("doc_id") == 1).select(
+        F2.explode(F2.array(F2.lit(2001), F2.lit(2002))).alias("doc_id"),
+        "text",
+    )
+    all_docs = base.unionByName(clone_a).unionByName(clone_b)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(all_docs).collect()
+    }
+    assert len(got) == 45
+    # clone group A: {0, 1001, 1002, 1003} all -> 0
+    assert got[0] == got[1001] == got[1002] == got[1003] == 0
+    # clone group B: {1, 2001, 2002} all -> 1
+    assert got[1] == got[2001] == got[2002] == 1
+    # structural invariants (testdata has some natural near-dups, so
+    # "everything else is a singleton" does NOT hold): labels are the
+    # component MINIMUM (label <= id) and label rows are fixpoints
+    assert all(cl <= d for d, cl in got.items())
+    assert all(got[cl] == cl for cl in got.values())
+    # no non-planted doc got pulled into the planted clone ids
+    assert all(cl not in (1001, 1002, 1003, 2001, 2002) for cl in got.values())
 
 
 def test_embedding_near_dup_pairs(spark, emb):
