@@ -146,3 +146,34 @@ def deterministic_sample(
         F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(1000))
         < permille
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset-MIXTURE sampling: keep rows of source s at
+    ``weights[s]`` permille (sources absent from the dict drop to 0) —
+    the per-source down-weighting step that assembles a pre-training
+    data mixture, replayable with no RNG state (same portable-hash gate
+    as deterministic_sample, so re-runs and backfills select the
+    identical rows).
+
+    Adds a ``shuffle_key`` column (the row's portable hash): sorting by
+    (shuffle_key, key) gives a deterministic global "shuffled" training
+    order WITHOUT a single-task global row_number window — at scale the
+    sort rides the write's range partitioner instead.
+    """
+    perm = None
+    for src, p in sorted(weights.items()):
+        if not 0 <= p <= 1000:
+            raise ValueError(f"permille out of range for {src!r}: {p}")
+        cond = F.col(source_col) == src
+        perm = F.when(cond, p) if perm is None else perm.when(cond, p)
+    perm = F.lit(0) if perm is None else perm.otherwise(F.lit(0))
+    h = portable_hash60(F.col(key_col).cast("string"))
+    return df.where(F.pmod(h, F.lit(1000)) < perm).withColumn(
+        "shuffle_key", h
+    )

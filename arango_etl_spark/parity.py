@@ -1261,6 +1261,39 @@ def bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 40b. mixture_sampled — dataset-mixture sampling (operators/packing.py
+# mixture_sample): per-source permille weights over the portable hash
+# gate + a shuffle_key for deterministic training order. src0 kept in
+# full, src1 at 50%, src2 at 10%, everything else dropped.
+# --------------------------------------------------------------------------
+_MIXTURE_SQL = """
+WITH h AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hh
+    FROM documents
+)
+SELECT doc_id, source, hh AS shuffle_key
+FROM h
+WHERE hh % 1000 < CASE source
+                  WHEN 'src0' THEN 1000
+                  WHEN 'src1' THEN 500
+                  WHEN 'src2' THEN 100
+                  ELSE 0 END
+"""
+
+
+@_register("mixture_sampled", _MIXTURE_SQL)
+def mixture_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.packing import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        weights={"src0": 1000, "src1": 500, "src2": 100},
+    )
+
+
+# --------------------------------------------------------------------------
 # 34c. repetition_signals — Gopher-style repetition quality filter
 # (operators/text.py repetition_signals): duplicate-word / top-word /
 # top-bigram fractions as EXACT integer ppm (floor((1e6*k)/n)) — integer

@@ -507,3 +507,33 @@ def test_contamination_flags(spark):
     assert out[1]["contaminated"] and out[1]["n_shared_ngrams"] >= 2
     assert out[2]["contaminated"]  # shares 'quick brown fox'
     assert not out[3]["contaminated"] and out[3]["n_shared_ngrams"] == 0
+
+
+def test_mixture_sample_weights_and_determinism(spark, docs):
+    from arango_etl_spark.operators.packing import mixture_sample
+
+    out = mixture_sample(
+        docs.select("doc_id", "source"),
+        weights={"src0": 1000, "src1": 500, "src3": 0},
+    )
+    rows = out.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    n0 = docs.where("source = 'src0'").count()
+    assert len(by_src.get("src0", [])) == n0          # permille 1000 = all
+    assert "src3" not in by_src and "src2" not in by_src  # 0 / absent drop
+    kept1 = len(by_src.get("src1", []))
+    assert 0 < kept1 < docs.where("source = 'src1'").count()
+    # replayable: identical selection on re-run
+    again = sorted(r["doc_id"] for r in mixture_sample(
+        docs.select("doc_id", "source"),
+        weights={"src0": 1000, "src1": 500, "src3": 0},
+    ).collect())
+    assert again == sorted(r["doc_id"] for r in rows)
+    # shuffle_key is the portable hash — deterministic order key
+    assert all(r["shuffle_key"] >= 0 for r in rows)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="permille"):
+        mixture_sample(docs, weights={"src0": 1001})
