@@ -230,28 +230,34 @@ def ivf_cosine_topk(
     def _lit_vec(vec: list[float]) -> Column:
         return F.array(*[F.lit(x) for x in vec])
 
-    def _sim(col: Column, vec: list[float]) -> Column:
+    def _sim(col: Column, vnorm: Column, vec: list[float]) -> Column:
         # UNROUNDED: both engines compute the identical IEEE operation
         # sequence, so the doubles are bit-identical and comparisons agree;
         # rounding here would INTRODUCE divergence (Spark HALF_UP vs
         # DuckDB HALF_EVEN on ties). Only the displayed cos_sim is rounded.
+        # The vector's own norm arrives as a pre-materialized column —
+        # inlining _norm(col) here would recompute the self-dot-product
+        # once PER CENTROID (n_centroids × dim wasted multiply-adds per
+        # row, the round-1 "md5 recomputed 64×" class of bug). The
+        # centroid norm is over literals → Catalyst constant-folds it.
         cl = _lit_vec(vec)
-        return _dot(col, cl) / (_norm(col) * _norm(cl))
+        return _dot(col, cl) / (vnorm * _norm(cl))
 
     if len(cents) > 1:
+        with_norm = embeddings.withColumn("_vnorm", _norm(F.col(vec_col)))
         cluster = F.greatest(
             *[
                 F.struct(
-                    _sim(F.col(vec_col), vec).alias("s"),
+                    _sim(F.col(vec_col), F.col("_vnorm"), vec).alias("s"),
                     F.lit(-cid).alias("nid"),
                     F.lit(cid).alias("cid"),
                 )
                 for cid, vec in cents
             ]
         )["cid"]
+        clustered = with_norm.withColumn("_cluster", cluster).drop("_vnorm")
     else:
-        cluster = F.lit(0)
-    clustered = embeddings.withColumn("_cluster", cluster)
+        clustered = embeddings.withColumn("_cluster", F.lit(0))
 
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "cid int, _cvec array<double>"

@@ -163,7 +163,12 @@ def repetition_signals(
     Plan shape (100 TB): one explode per gram order → (doc, gram) count
     → per-doc max/sum; all partial-aggregating shuffles keyed by doc_id,
     bounded per-task regardless of document skew. Docs with zero words
-    produce no row (no 0/0).
+    produce no row (no 0/0). The word/bigram branches each run the cheap
+    map-side split — a DELIBERATE recompute: deriving bigrams from the
+    exploded word stream instead would need a lead()-window (an extra
+    per-doc shuffle + sort), which costs more than re-splitting in the
+    same codegen stage (contrast jaccard, where the recomputed work was
+    a whole shuffle-feeding pipeline and sharing was the win).
     """
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
