@@ -314,11 +314,15 @@ def embedding_near_dup_pairs(
     pairs = _pairs_from_buckets(bucketed, ["_bucket"], id_col).dropDuplicates(
         ["doc_a", "doc_b"]
     )
+    # each vector's norm is computed ONCE pre-join (a vector in m pairs
+    # would otherwise recompute its self-dot-product m times)
     a = embeddings.select(
-        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va")
+        F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
     return (
         pairs.join(a, "doc_a")
@@ -327,7 +331,7 @@ def embedding_near_dup_pairs(
             "cos_sim",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                / (F.col("_na") * F.col("_nb")),
                 6,
             ),
         )

@@ -43,15 +43,19 @@ def cosine_topk(
     ``query`` has (query_id, embedding). Small query set → broadcast; the
     big side streams map-only until the per-query top-k (window on rank).
     """
+    # the query norm is constant per query — computed ONCE on the tiny
+    # broadcast side instead of per candidate row (dim multiply-adds/row)
     q = query.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        _norm(F.col(vec_col)).alias("_qnorm"),
     )
     sims = embeddings.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
         F.round(
             _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+            / (_norm(F.col(vec_col)) * F.col("_qnorm")),
             6,
         ).alias("cos_sim"),
     )
@@ -147,18 +151,24 @@ def lsh_cosine_topk(
 
     e = with_buckets(embeddings, vec_col)
     q = with_buckets(
-        query.select(query_id_col, F.col(vec_col).alias("_qvec")), "_qvec"
+        query.select(
+            query_id_col,
+            F.col(vec_col).alias("_qvec"),
+            # query norm: once on the broadcast side, not per candidate
+            _norm(F.col(vec_col)).alias("_qnorm"),
+        ),
+        "_qvec",
     )
     cands = (
         e.join(F.broadcast(q), "_bucket")
-        .select(query_id_col, id_col, vec_col, "_qvec")
+        .select(query_id_col, id_col, vec_col, "_qvec", "_qnorm")
         .dropDuplicates([query_id_col, id_col])
         .select(
             query_id_col,
             id_col,
             F.round(
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+                / (_norm(F.col(vec_col)) * F.col("_qnorm")),
                 6,
             ).alias("cos_sim"),
         )
@@ -196,8 +206,8 @@ def ivf_cosine_topk(
        class as the LSH plane weights, never event data.
     2. ASSIGN (map-only): every vector joins its argmax-cosine centroid via
        a greatest() over n_centroids struct expressions — JVM codegen, no
-       shuffle, no UDF. Ties break to the lowest centroid id on the
-       ROUNDED (6 dp) similarity so both engines agree.
+       shuffle, no UDF. Comparisons use UNROUNDED doubles (bit-identical
+       across engines); exact ties break to the lowest centroid id.
     3. PROBE: per query, the ``n_probe`` nearest centroids; only vectors
        assigned to probed cells are exactly re-ranked. At 100 TB the
        assign column is write-time state (partition/bucket the table by
@@ -262,7 +272,12 @@ def ivf_cosine_topk(
     cent_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "cid int, _cvec array<double>"
     )
-    q = query.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    q = query.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        # query norm: once here; rides the broadcast probes to the re-rank
+        _norm(F.col(vec_col)).alias("_qnorm"),
+    )
     w_probe = Window.partitionBy(query_id_col).orderBy(
         F.col("_csim").desc(), F.col("cid").asc()
     )
@@ -275,7 +290,7 @@ def ivf_cosine_topk(
         )
         .withColumn("_rk", F.row_number().over(w_probe))
         .where(F.col("_rk") <= n_probe)
-        .select(query_id_col, "cid", "_qvec")
+        .select(query_id_col, "cid", "_qvec", "_qnorm")
     )
     cand = clustered.join(
         F.broadcast(probes), clustered["_cluster"] == probes["cid"]
@@ -285,7 +300,7 @@ def ivf_cosine_topk(
         id_col,
         (
             _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))
+            / (_norm(F.col(vec_col)) * F.col("_qnorm"))
         ).alias("_sim_raw"),
     )
     w_k = Window.partitionBy(query_id_col).orderBy(
