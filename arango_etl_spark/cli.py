@@ -153,6 +153,8 @@ def cmd_current(spark, args) -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             trigger_interval_secs=args.trigger_interval,
             max_retries=args.max_retries,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
         ),
         event_schema=schema,
         available_now=args.drain,
@@ -189,6 +191,7 @@ _CONFIG_KEYS = {
     "stream_id": str, "strategy": str, "dedup": str, "compact_every": int,
     "buckets": int, "cores": int, "max_files_per_trigger": int,
     "trigger_interval": int, "max_retries": int, "extra_columns": str,
+    "expire_every": int, "expire_keep_last": int,
 }
 
 
@@ -261,6 +264,11 @@ def main() -> None:
                    help="continuous-mode micro-batch cadence (seconds)")
     c.add_argument("--max-retries", type=int, default=3,
                    help="poison-batch cap (skip after N recorded failures)")
+    c.add_argument("--expire-every", type=int, default=0,
+                   help="expire old snapshots every N applied epochs "
+                        "(bounds manifest count on long streams; 0 = never)")
+    c.add_argument("--expire-keep-last", type=int, default=4,
+                   help="versions retained by the periodic expiry")
     c.add_argument("--extra-columns", default=None,
                    help="comma list of name:type — widen the read schema "
                         "for additive evolution (superset-schema pattern)")
