@@ -1753,6 +1753,66 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, ngram=3, min_overlap=1)
 
 
+# --------------------------------------------------------------------------
+# 48. curated_training_set — the END-TO-END curation pipeline
+# (operators/pipeline.py curate_training_set): quality gate → near-dup
+# cluster representative → benchmark decontamination → mixture sample,
+# composed into ONE oracle (the recursive clusters closure and the
+# contamination join share the same shingle CTEs), so the driver gate
+# verifies the pipeline composition, not just its stages.
+# --------------------------------------------------------------------------
+_CURATE_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES}, pairs AS (
+    SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+    FROM mem m1
+    JOIN mem m2 ON m1.b = m2.b AND m1.band_hash = m2.band_hash
+               AND m1.doc_id < m2.doc_id
+    GROUP BY m1.doc_id, m2.doc_id
+), cedges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+    SELECT a, b FROM cedges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+), comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+), contam AS (
+    -- substantial overlap only (>= 5 shared 3-grams): single shared
+    -- grams are vocabulary noise at scale, not eval leakage
+    SELECT sh.doc_id FROM sh JOIN bench USING (shingle)
+    GROUP BY sh.doc_id HAVING count(*) >= 5
+)
+SELECT d.doc_id, d.source,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS shuffle_key
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+  AND ct.doc_id IS NULL
+  AND length(d.text) >= 100
+  AND CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      / length(d.text) >= 0.81
+  AND CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000 < CASE WHEN CAST(substr(d.source, 4) AS INTEGER) % 2 = 0
+                    THEN 1000 ELSE 500 END
+"""
+
+
+@_register("curated_training_set", _CURATE_SQL)
+def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.pipeline import curate_training_set
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod("doc_id", F.lit(20)) == 0)
+    weights = {f"src{i}": (1000 if i % 2 == 0 else 500) for i in range(20)}
+    return curate_training_set(docs, bench, weights, min_overlap=5)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

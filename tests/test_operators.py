@@ -537,3 +537,38 @@ def test_mixture_sample_weights_and_determinism(spark, docs):
 
     with _p.raises(ValueError, match="permille"):
         mixture_sample(docs, weights={"src0": 1001})
+
+
+def test_curate_training_set_composition(spark):
+    """Each pipeline stage visibly drops the doc planted to fail it: the
+    short doc, the clone with the higher id, and the eval-overlapping doc
+    all disappear; the clean representative survives with a shuffle_key."""
+    from arango_etl_spark.operators.pipeline import curate_training_set
+
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega one two three four five six seven eight nine ten more "
+        "words to comfortably clear the hundred character floor here"
+    )
+    eval_text = (
+        "evalset question answer choice correct label benchmark "
+        "heldout split test item prompt completion gold target "
+        "metric score exact match accuracy suite task example row"
+    )
+    rows = [
+        (10, "src0", body),                     # keeps: clean representative
+        (11, "src0", body),                     # clone of 10 -> dropped (rep=10)
+        (12, "src0", "too short"),              # fails length gate
+        (13, "src0", eval_text + " padded with extra tokens to pass "
+                     "the length gate easily for this contamination case"),
+        (99, "src1", eval_text),                # the benchmark doc itself
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = docs.where(F.col("doc_id") == 99).select("doc_id", "text")
+    out = curate_training_set(
+        docs, bench, weights={"src0": 1000, "src1": 1000}, min_overlap=5
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {10}
+    assert got[10]["source"] == "src0" and got[10]["shuffle_key"] >= 0
