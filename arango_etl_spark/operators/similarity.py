@@ -30,6 +30,16 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _lit_array(vals: list[float]) -> Column:
+    """Literal double array via ONE parsed SQL expression. Building it
+    element-wise (F.array(*[F.lit(v) ...])) costs a py4j round trip PER
+    ELEMENT — measured ~5s of pure driver time for 16 centroids × 64
+    dims before any job ran. repr() round-trips doubles exactly, so the
+    CAST parses back the identical bits."""
+    body = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,
@@ -98,7 +108,7 @@ def hyperplane_signs(
     ws = _plane_weights(dim, n_planes, seed)
 
     def plane_bit(p: int) -> Column:
-        warr = F.array(*[F.lit(w) for w in ws[p]])
+        warr = _lit_array(ws[p])
         s = F.aggregate(
             F.zip_with(vec, warr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -237,8 +247,7 @@ def ivf_cosine_topk(
         for cid, r in enumerate(cent_rows)
     ]
 
-    def _lit_vec(vec: list[float]) -> Column:
-        return F.array(*[F.lit(x) for x in vec])
+    _lit_vec = _lit_array
 
     def _sim(col: Column, vnorm: Column, vec: list[float]) -> Column:
         # UNROUNDED: both engines compute the identical IEEE operation

@@ -41,6 +41,7 @@ PARITY_QUERIES = [
     "histogram_counts",
     "minhash_lsh_candidates",
     "embedding_cosine_topk",
+    "ivf_topk",
     "pack_chunks",
 ]
 
