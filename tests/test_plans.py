@@ -73,6 +73,18 @@ def test_anti_join_broadcasts(spark):
     assert explain.uses_broadcast_join(out)
 
 
+def test_q10_broadcasts_dim_and_pushes_filters(spark):
+    """The 4-table join tree must broadcast the tiny nation dim, push the
+    selective filters into the parquet scans, and partial-aggregate
+    before the final exchange."""
+    df = parity.q10_returned_items(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan or \
+        "EqualTo(l_returnflag,R)" in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:2000]
+
+
 def test_jaccard_single_tokenization_pass(spark):
     """jaccard_ngram_pairs must evaluate the shingle pipeline ONCE: the
     per-doc size branch and the pair branch share one _bucket_groups
