@@ -1,0 +1,57 @@
+"""Streaming twin of the training-data curation filters: quality gate +
+exact near-real-time dedup over a document FEED (readStream) instead of
+a static corpus.
+
+The batch pipeline (operators/pipeline.py) curates a full corpus; this
+module is the ingest-time complement — documents arrive continuously and
+each micro-batch emits only the rows that (a) pass the columnar quality
+gate and (b) are the first arrival of their content fingerprint within
+the watermark horizon. Clustering/decontamination stay batch jobs (they
+need corpus-wide state); quality + exact dedup are the filters worth
+paying for before data ever lands.
+
+Spark-first shape:
+- the quality gate is pure columnar SQL — stateless, fuses into the scan;
+- dedup uses ``dropDuplicatesWithinWatermark`` on the md5 content
+  fingerprint: state holds one (hash → expiry) entry per distinct doc
+  seen inside the watermark, NOT the documents themselves, and Spark
+  evicts entries past the horizon — bounded state on an unbounded
+  stream (an unwatermarked dropDuplicates would grow state forever);
+- works identically on a batch DataFrame (dropDuplicates fallback), so
+  the same function is unit-testable without a stream and usable for
+  backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_stream(
+    docs: DataFrame,
+    min_len: int = 100,
+    min_alpha_ratio: float = 0.81,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Quality-gate + content-dedup a document stream (or batch frame).
+
+    Emits the input columns plus ``content_hash``. Dedup keys on the md5
+    of the text, not the doc id, so re-crawled / re-submitted identical
+    content is dropped even under new ids — the ingest-time half of
+    exact dedup (the batch half catches duplicates farther apart than
+    the watermark horizon).
+    """
+    lt = F.length(F.col(text_col))
+    alpha = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+        .cast("double") / lt
+    )
+    gated = docs.where((lt >= min_len) & (alpha >= min_alpha_ratio))
+    hashed = gated.withColumn("content_hash", F.md5(F.col(text_col)))
+    if hashed.isStreaming:
+        return hashed.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.dropDuplicates(["content_hash"])

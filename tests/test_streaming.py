@@ -249,3 +249,62 @@ def test_soak_long_stream_with_compaction_expiry_and_two_kills(
     m = t.manifest()
     per_bucket = [len(fs) for fs in m["files"].values()]
     assert max(per_bucket, default=0) <= 2 * base["compact_every"] + 1
+
+
+def test_curate_stream_quality_and_dedup(spark, tmp_path):
+    """Streaming curation twin: the quality gate drops short/junk docs and
+    dropDuplicatesWithinWatermark keeps ONE row per content hash across
+    micro-batches; the batch fallback of the same function agrees."""
+    import datetime as dt
+
+    from arango_etl_spark.streaming.curation import curate_stream
+
+    body_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi rho sigma tau upsilon phi chi "
+              "psi omega extra words fill the hundred char floor nicely")
+    body_b = body_a.replace("alpha", "distinct")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    feed = str(tmp_path / "feed")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    # two micro-batch files: a duplicate of body_a arrives in EACH
+    spark.createDataFrame(
+        [(1, body_a, t0), (2, "too short 123", t0), (3, body_b, t0)],
+        schema,
+    ).coalesce(1).write.parquet(f"{feed}/f0")
+    spark.createDataFrame(
+        [(4, body_a, t0 + dt.timedelta(minutes=1)),
+         (5, body_b, t0 + dt.timedelta(minutes=2))],
+        schema,
+    ).coalesce(1).write.parquet(f"{feed}/f1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    out = curate_stream(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "sink")).collect()
+    by_hash: dict = {}
+    for r in got:
+        by_hash.setdefault(r["content_hash"], []).append(r["doc_id"])
+    # exactly one survivor per distinct content; the short doc is gone
+    assert all(len(ids) == 1 for ids in by_hash.values()), by_hash
+    assert len(by_hash) == 2
+    assert 2 not in {r["doc_id"] for r in got}
+
+    # batch fallback: same function, same survivors-per-hash contract
+    batch = spark.read.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(feed)
+    bgot = curate_stream(batch).collect()
+    assert len(bgot) == 2
+    assert {r["content_hash"] for r in bgot} == set(by_hash)
