@@ -63,21 +63,33 @@ def cosine_topk(
     sims = embeddings.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        F.round(
+        (
             _dot(F.col(vec_col), F.col("_qvec"))
-            / (_norm(F.col(vec_col)) * F.col("_qnorm")),
-            6,
-        ).alias("cos_sim"),
+            / (_norm(F.col(vec_col)) * F.col("_qnorm"))
+        ).alias("_sim_raw"),
     )
     from pyspark.sql import Window
 
+    # rank on the UNROUNDED double (bit-identical across engines — see
+    # ivf_cosine_topk); round only the displayed value
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+        F.col("_sim_raw").desc(), F.col(id_col).asc()
     )
     return (
         sims.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .select(
+            query_id_col, id_col,
+            # Display at 4 dp. The engines' dot products differ by ~1e-8
+            # (DuckDB's list_dot_product is not a strict left fold), so
+            # NEITHER raw values (jitter visible at the 8th digit) nor
+            # fine rounding (jitter straddles a 6-dp boundary ~1% of the
+            # time) compare cleanly — 4 dp puts the boundary 4 orders of
+            # magnitude above the jitter. RANKING stays on the raw value:
+            # selection only flips if two candidates sit within the
+            # jitter of each other, and the id tie-break bounds that.
+            F.round("_sim_raw", 4).alias("cos_sim"),
+        )
     )
 
 
@@ -176,22 +188,25 @@ def lsh_cosine_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
+            (
                 _dot(F.col(vec_col), F.col("_qvec"))
-                / (_norm(F.col(vec_col)) * F.col("_qnorm")),
-                6,
-            ).alias("cos_sim"),
+                / (_norm(F.col(vec_col)) * F.col("_qnorm"))
+            ).alias("_sim_raw"),
         )
     )
     from pyspark.sql import Window
 
+    # rank on the unrounded double; round only for display (see above)
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+        F.col("_sim_raw").desc(), F.col(id_col).asc()
     )
     return (
         cands.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .select(
+            query_id_col, id_col,
+            F.round("_sim_raw", 4).alias("cos_sim"),  # see cosine_topk
+        )
     )
 
 
@@ -320,7 +335,6 @@ def ivf_cosine_topk(
         .where(F.col("_rk") <= k)
         .select(
             query_id_col, id_col,
-            # display rounding only (4 dp — the float32-cosine convention)
-            F.round("_sim_raw", 4).alias("cos_sim"),
+            F.round("_sim_raw", 4).alias("cos_sim"),  # see cosine_topk
         )
     )

@@ -562,6 +562,45 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 19a. cosine_topk_multi — the ACTUAL cosine_topk operator (multi-query:
+# per-query broadcast + window rank) under the oracle gate; the older
+# embedding_cosine_topk pair checks the single-query inline formulation.
+# Ranks on unrounded doubles, rounds only the displayed value.
+# --------------------------------------------------------------------------
+_COSINE_MULTI_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), sims AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(e.embedding, q.qe)
+           / (sqrt(list_dot_product(e.embedding, e.embedding))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS sim_raw
+    FROM embeddings e CROSS JOIN q
+), ranked AS (
+    SELECT query_id, vec_id, sim_raw,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC
+           ) AS rn
+    FROM sims
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS cos_sim
+FROM ranked WHERE rn <= 5
+"""
+
+
+@_register("cosine_topk_multi", _COSINE_MULTI_SQL)
+def cosine_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, q, k=5)
+
+
+# --------------------------------------------------------------------------
 # 19b. ivf_topk — the IVF scale path for ANN (operators/similarity.py
 # ivf_cosine_topk): hash-seeded deterministic centroids → map-side argmax
 # assignment → probe the 4 nearest cells → exact re-rank inside them.
