@@ -4,7 +4,7 @@ entry(spark)  — flagship CDC final-state query on sf0.001.
 queries()     — one (spark, sf_dir) -> DataFrame per operator family from
                 SURVEY.md §2 plus the training-data ops
                 (implemented in arango_etl_spark/parity.py).
-oracle_sql()  — matching DuckDB SQL for EVERY query (52 pairs as of
+oracle_sql()  — matching DuckDB SQL for EVERY query (53 pairs as of
                 round 3; zero rows-only entries since round 2 moved all
                 hashing to the portable md5-affine family).
 """

@@ -506,3 +506,44 @@ def near_dup_clusters(
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iters} iterations"
     )
+
+
+def near_dup_representatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefer: str = "longest",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Dedup DECISIONS from near-dup clusters: one representative per
+    cluster, chosen by policy — ``longest`` keeps the member with the
+    most text (quality-preserving: near-dups are usually truncations /
+    boilerplate variants of one canonical page; ties to the lowest id),
+    ``min_id`` keeps the deterministic minimum id. Returns
+    (cluster_id, rep_doc_id, n_members).
+
+    One partial-aggregating shuffle over (cluster_id) after the cluster
+    join; max_by's struct ordering runs map-side first.
+    """
+    if prefer not in ("longest", "min_id"):
+        raise ValueError(f"unknown prefer policy: {prefer!r}")
+    clusters = near_dup_clusters(
+        docs, text_col=text_col, id_col=id_col, **cluster_kwargs
+    )
+    if prefer == "min_id":
+        # label already IS the minimum member id
+        return clusters.groupBy("cluster_id").agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    joined = clusters.join(
+        docs.select(F.col(id_col), F.length(text_col).alias("_len")), id_col
+    )
+    # scalar preference key (portable to DuckDB, whose arg_max lacks
+    # struct ordering): longer text wins; equal lengths prefer the lower
+    # id. len < 10^6 and id < 10^12 keep the product inside int64.
+    pref = F.col("_len").cast("long") * F.lit(1_000_000_000_000) - F.col(id_col)
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), pref).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

@@ -803,6 +803,48 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+_REPS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES}, pairs AS (
+    SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+    FROM mem m1
+    JOIN mem m2 ON m1.b = m2.b AND m1.band_hash = m2.band_hash
+               AND m1.doc_id < m2.doc_id
+    GROUP BY m1.doc_id, m2.doc_id
+), cedges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+    SELECT a, b FROM cedges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+), comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), clusters AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           length(d.text) AS len
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT cluster_id,
+       arg_max(doc_id, len * 1000000000000 - doc_id) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM clusters GROUP BY cluster_id
+"""
+
+
+@_register("neardup_representatives", _REPS_SQL)
+def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-longest dedup decisions per near-dup cluster (the policy a
+    quality-preserving pipeline actually wants: near-dups are usually
+    truncations of one canonical page)."""
+    from arango_etl_spark.operators.dedup import near_dup_representatives
+
+    return near_dup_representatives(
+        _t(spark, sf_dir, "documents"), prefer="longest",
+        n_hashes=32, n_bands=8,
+    )
+
+
 @_register("neardup_clusters", _CLUSTERS_SQL)
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arango_etl_spark.operators.dedup import near_dup_clusters

@@ -572,3 +572,32 @@ def test_curate_training_set_composition(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     assert set(got) == {10}
     assert got[10]["source"] == "src0" and got[10]["shuffle_key"] >= 0
+
+
+def test_near_dup_representatives_policies(spark):
+    """keep-longest picks the longest member (ties to lowest id);
+    min_id picks the label itself; singleton clusters keep themselves."""
+    long_body = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (5, long_body),                      # cluster {5,6}: 6 is longer
+        (6, long_body + " extra tail words here"),
+        (7, "totally unrelated content one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_policy = {}
+    for prefer in ("longest", "min_id"):
+        got = {
+            r["cluster_id"]: (r["rep_doc_id"], r["n_members"])
+            for r in dedup.near_dup_representatives(
+                df, prefer=prefer, n_hashes=16, n_bands=8
+            ).collect()
+        }
+        by_policy[prefer] = got
+    assert by_policy["longest"][5] == (6, 2)   # longest member wins
+    assert by_policy["min_id"][5] == (5, 2)    # label (min id) wins
+    assert by_policy["longest"][7] == (7, 1)   # singleton keeps itself
+    import pytest as _p
+
+    with _p.raises(ValueError, match="prefer"):
+        dedup.near_dup_representatives(df, prefer="newest")
