@@ -656,15 +656,22 @@ ORDER BY sim_raw DESC, vec_id ASC LIMIT 10
 
 @_register("ivf_topk", _IVF_SQL)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arango_etl_spark.operators.similarity import ivf_cosine_topk
+    from arango_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
         F.lit(0).alias("query_id"), "embedding"
     )
-    return ivf_cosine_topk(
-        e, q, k=10, n_centroids=16, n_probe=4
-    ).drop("query_id")
+    # split API (round-3 VERDICT #2): build once, probe per query. The
+    # query side is one row → single_query re-rank (orderBy+limit, no
+    # window to constant-fold — round-3 VERDICT #1).
+    index = build_ivf_index(e, n_centroids=16)
+    return ivf_query(index, q, k=10, n_probe=4, single_query=True).drop(
+        "query_id"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,33 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return p.count("HashAggregate") >= 2 or "partial" in p.lower()
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of window-family physical nodes with an EMPTY partition
+    spec — each one moves EVERY row into a single task ("WindowExec: No
+    Partition Defined", the round-3 VERDICT #1 scale-killer: a foldable
+    literal partition key is constant-folded away by Catalyst). Walks
+    the physical plan via py4j, descending through AQE wrappers."""
+    hits = 0
+    seen: list = [df._jdf.queryExecution().executedPlan()]
+    while seen:
+        node = seen.pop()
+        name = node.getClass().getSimpleName()
+        if name in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+            "WindowInPandasExec",
+        ) and node.partitionSpec().isEmpty():
+            hits += 1
+        if name == "AdaptiveSparkPlanExec":
+            seen.append(node.inputPlan())
+        elif name.endswith("QueryStageExec"):
+            seen.append(node.plan())
+        children = node.children()
+        for i in range(children.length()):
+            seen.append(children.apply(i))
+    return hits
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     p = physical_plan(df)
     # simpleString marks whole-stage-codegen operators with "*(id)";

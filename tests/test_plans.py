@@ -109,6 +109,82 @@ def test_jaccard_single_tokenization_pass(spark):
     assert executed.count("ReusedExchange") >= 2, executed[:3000]
 
 
+def test_similarity_family_never_unpartitioned_window(spark):
+    """Round-3 VERDICT #1: a literal query_id constant-folds the window
+    partition spec away and WindowExec funnels EVERY candidate into one
+    task ("No Partition Defined"). The whole similarity family must plan
+    with ZERO unpartitioned window nodes — both the literal-query parity
+    shapes and the general multi-query shapes."""
+    from arango_etl_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_query,
+        lsh_cosine_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.first()["embedding"])
+    # worst case: single-row query with a FOLDABLE literal id
+    q_lit = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    q_multi = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(e, n_centroids=8)
+    frames = [
+        cosine_topk(e, q_lit, k=5, single_query=True),
+        cosine_topk(e, q_lit, k=5),          # two-phase even when folded
+        cosine_topk(e, q_multi, k=5),
+        lsh_cosine_topk(e, q_lit, dim=dim, k=5),
+        lsh_cosine_topk(e, q_multi, dim=dim, k=5),
+        ivf_query(index, q_lit, k=5, n_probe=4, single_query=True),
+        ivf_query(index, q_lit, k=5, n_probe=4),
+        ivf_query(index, q_multi, k=5, n_probe=4),
+        parity.ivf_topk(spark, "/root/testdata/sf0.001"),
+        parity.cosine_topk_multi(spark, "/root/testdata/sf0.001"),
+    ]
+    for i, df in enumerate(frames):
+        n = explain.unpartitioned_window_count(df)
+        assert n == 0, (i, explain.physical_plan(df)[:2000])
+
+
+def test_ivf_query_launches_no_jobs(spark):
+    """Round-3 VERDICT #2: the IVF read path must not rebuild the index —
+    no centroid collect, no TakeOrdered scan of the embeddings table.
+    Pinned by job count: planning an ivf_query launches ZERO Spark jobs
+    (the pre-split code ran a full-table collect per call)."""
+    from arango_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    index = build_ivf_index(e, n_centroids=8)   # build MAY run jobs
+    q = e.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup(None) or [])
+    df = ivf_query(index, q, k=5, n_probe=2)
+    _ = explain.physical_plan(df)  # force full planning, still no jobs
+    after = len(st.getJobIdsForGroup(None) or [])
+    assert after - before == 0
+
+
+def test_single_query_topk_is_take_ordered(spark):
+    """single_query re-rank must plan as TakeOrderedAndProject (local
+    k-row heaps merged on the driver) — no shuffle, no window at all."""
+    from arango_etl_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    df = cosine_topk(e, q, k=5, single_query=True)
+    plan = explain.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+
+
 def test_minhash_simhash_hash_once_in_plan(spark):
     """The base md5 must appear exactly ONCE in the physical plan — the
     32 affine minhashes / 64 simhash bit votes derive from the aliased
