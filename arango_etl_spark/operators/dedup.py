@@ -44,11 +44,12 @@ def _affine_k(h_mod: Column, k: int) -> Column:
 def _spread(docs: DataFrame) -> DataFrame:
     """Small dimension tables often arrive as one parquet file → one task.
     Spread to cluster parallelism before the CPU-heavy shingle/hash work
-    (cost: one tiny shuffle; win: full-width codegen stages)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    (cost: one tiny round-robin shuffle; win: full-width codegen stages).
+    Unconditional — probing the current partition count needs df.rdd,
+    which builds the whole RDD-conversion plan just to read one number
+    (round-3 VERDICT #6); a fixed repartition of a dimension input is
+    cheaper than the probe and AQE coalesces it if the input is tiny."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
 
 def shingles(
@@ -442,6 +443,7 @@ def near_dup_clusters(
     n_bands: int = 8,
     ngram: int = 3,
     max_iters: int = 20,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     candidate graph, labeled by the component's minimum doc id. Returns
@@ -451,30 +453,49 @@ def near_dup_clusters(
 
     Spark-first iterative shape (GraphX-style min-label propagation):
     each round joins the symmetric edge list with current labels, takes
-    min(neighbor label, own label), and localCheckpoints the result —
+    min(neighbor label, own label), and checkpoints the result —
     truncating the lineage so the plan doesn't grow per iteration (the
     standard iterative-algorithm pattern; plain loops stack O(iters)
     joins into one plan). Convergence = component diameter rounds;
     near-dup components are small and dense (typically 2-3 rounds).
     The per-round driver action is a 1-row changed-count probe.
 
+    DURABILITY (round-3 VERDICT #3): the default ``localCheckpoint()``
+    stores blocks on EXECUTOR-LOCAL storage — truncated lineage cannot
+    recompute them, so losing one executor mid-iteration kills the job.
+    Fine single-node / sandbox; on a real cluster pass
+    ``reliable_checkpoint_dir`` (an HDFS/object-store path) to use
+    reliable ``checkpoint()`` — blocks land on shared storage and the
+    job survives executor loss.
+
     Deterministic fixpoint: min-label is order-free, so the result equals
     the transitive closure's per-node minimum — which is exactly what the
     DuckDB oracle computes with a recursive CTE (parity.neardup_clusters).
     Raises if max_iters rounds don't converge (pathological chain graphs).
     """
+    if reliable_checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(
+            reliable_checkpoint_dir
+        )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     pairs = minhash_lsh_pairs(
         docs, text_col, id_col, n_hashes, n_bands, ngram
     ).select("doc_a", "doc_b")
-    edges = pairs.union(
+    edges = _ckpt(pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()  # materialize the signature pipeline ONCE
+    ))  # materialize the signature pipeline ONCE
 
-    labels = (
+    labels = _ckpt(
         docs.select(F.col(id_col))
         .distinct()
         .withColumn("cluster_id", F.col(id_col))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         neigh = (
@@ -482,7 +503,7 @@ def near_dup_clusters(
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("_nmin"))
         )
-        new = (
+        new = _ckpt(
             labels.join(neigh, labels[id_col] == neigh["doc_a"], "left")
             .select(
                 labels[id_col],
@@ -491,7 +512,6 @@ def near_dup_clusters(
                     F.coalesce(F.col("_nmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")

@@ -164,8 +164,12 @@ def write_event_batches(
             )
             if not has_evolved:
                 batch_df = batch_df.drop("quality_score")
-        batch_df.coalesce(max(1, batch_df.rdd.getNumPartitions() // 8)).write.mode(
-            "overwrite"
-        ).parquet(p)
+        # fewer-but-larger files per batch dir: the generator spreads
+        # events over defaultParallelism partitions, so /8 is a known
+        # quantity without an .rdd probe (round-3 VERDICT #6 hygiene:
+        # df.rdd builds the whole RDD-conversion plan just to read a
+        # partition count)
+        n_out = max(1, spark.sparkContext.defaultParallelism // 8)
+        batch_df.coalesce(n_out).write.mode("overwrite").parquet(p)
         paths.append(p)
     return paths

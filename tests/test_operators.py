@@ -306,6 +306,32 @@ def test_near_dup_clusters_components(spark, docs):
     assert all(cl not in (1001, 1002, 1003, 2001, 2002) for cl in got.values())
 
 
+def test_near_dup_clusters_reliable_checkpoint(spark, docs, tmp_path):
+    """reliable_checkpoint_dir switches lineage truncation to cluster-
+    durable checkpoint() (round-3 VERDICT #3) — same fixpoint as the
+    default localCheckpoint mode, and checkpoint files actually land
+    in the given directory."""
+    base = docs.limit(30).select("doc_id", "text")
+    ckpt_dir = str(tmp_path / "ckpt")
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(base).collect()
+    }
+    durable = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(
+            base, reliable_checkpoint_dir=ckpt_dir
+        ).collect()
+    }
+    assert durable == local
+    import os
+
+    found = [
+        f for root, _, files in os.walk(ckpt_dir) for f in files
+    ]
+    assert found, f"no checkpoint files written under {ckpt_dir}"
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     from pyspark.sql import functions as F2
 
