@@ -39,10 +39,14 @@ def pack_sequences(
 ) -> DataFrame:
     """Pack token arrays into fixed ``chunk_len`` chunks per group.
 
-    Returns (group_cols..., [shard,] chunk_id, n_tok, first_token,
+    Returns (group_cols..., shard, chunk_id, n_tok, first_token,
     last_token, token_sum) — chunk stats rather than the materialized
     array so the result is hash-comparable; ``n_tok == chunk_len`` for
-    every chunk except each (group, shard)'s last.
+    every chunk except each (group, shard)'s last. The ``shard`` column
+    is ALWAYS present (0 when n_shards == 1) so the output schema never
+    depends on the cluster's parallelism (ADVICE r3: auto-derived
+    n_shards previously added the column only when it exceeded 1,
+    silently changing the schema across environments).
 
     SKEW (100 TB): the offset window serializes each group into ONE task
     — with a handful of coarse groups (e.g. 8 sources) that is a hot-key
@@ -88,15 +92,16 @@ def pack_sequences(
             docs.select(*group_cols).distinct().count() if group_cols else 1
         )
         n_shards = max(1, min(-(-par // max(n_groups, 1)), 32))
-    if n_shards > 1:
-        docs = docs.withColumn(
-            "shard",
-            F.pmod(
-                portable_hash60(F.col(order_col).cast("string")),
-                F.lit(n_shards),
-            ).cast("int"),
+    shard = (
+        F.pmod(
+            portable_hash60(F.col(order_col).cast("string")),
+            F.lit(n_shards),
         )
-        group_cols = group_cols + ["shard"]
+        if n_shards > 1
+        else F.lit(0)
+    )
+    docs = docs.withColumn("shard", shard.cast("int"))
+    group_cols = group_cols + ["shard"]
     # explicit ROWS frame: each row's offset counts strictly preceding ROWS
     # in window order (RANGE would give duplicate order keys identical
     # cumulative sums → colliding _offset/_gpos → overlapping chunks)

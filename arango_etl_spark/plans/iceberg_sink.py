@@ -195,6 +195,19 @@ def merge_batch(
             lambda: spark.sql(merge_sql),
         )
         if done:
+            # VERIFY the fence actually landed (ADVICE r3): the
+            # CommitMetadata thread-local only reaches the snapshot if
+            # the nested sql() commit ran on the SAME JVM thread (py4j
+            # pinned-thread mode). If the property is absent, the fence
+            # silently never wrote — stamp the TBLPROPERTIES fallback so
+            # restarts don't re-apply every batch. The MERGE itself ran,
+            # so only the fence write is repeated, never the data.
+            last = last_batch_id(spark, ident, fence_stream_id)
+            if last is None or last < int(batch_id):
+                spark.sql(
+                    f"ALTER TABLE {ident} SET TBLPROPERTIES "
+                    f"('fence.{fence_stream_id}' = '{int(batch_id)}')"
+                )
             return True
     spark.sql(merge_sql)
     if fenced:

@@ -17,9 +17,12 @@ Spark-first shape:
   seen inside the watermark, NOT the documents themselves, and Spark
   evicts entries past the horizon — bounded state on an unbounded
   stream (an unwatermarked dropDuplicates would grow state forever);
-- works identically on a batch DataFrame (dropDuplicates fallback), so
-  the same function is unit-testable without a stream and usable for
-  backfills.
+- on a batch DataFrame the same function keeps the DETERMINISTIC
+  first arrival per content hash — min_by over (ingest_ts, id), the
+  same winner the streaming path's arrival order produces when event
+  time tracks arrival order (ADVICE r3: a bare dropDuplicates keeps an
+  arbitrary row, so survivor ids varied across runs) — making it
+  unit-testable without a stream and usable for backfills.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ def curate_stream(
     watermark: str = "10 minutes",
     text_col: str = "text",
     ts_col: str = "ingest_ts",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Quality-gate + content-dedup a document stream (or batch frame).
 
@@ -42,7 +46,9 @@ def curate_stream(
     of the text, not the doc id, so re-crawled / re-submitted identical
     content is dropped even under new ids — the ingest-time half of
     exact dedup (the batch half catches duplicates farther apart than
-    the watermark horizon).
+    the watermark horizon). Batch survivors are the deterministic first
+    arrival by (``ts_col``, ``id_col``) — one partial-aggregating
+    min_by shuffle, re-runs always keep the same rows.
     """
     lt = F.length(F.col(text_col))
     alpha = (
@@ -54,4 +60,14 @@ def curate_stream(
     if hashed.isStreaming:
         return hashed.withWatermark(ts_col, watermark)\
             .dropDuplicatesWithinWatermark(["content_hash"])
-    return hashed.dropDuplicates(["content_hash"])
+    cols = [c for c in hashed.columns if c != "content_hash"]
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(F.col(ts_col), F.col(id_col)),
+            ).alias("_w")
+        )
+        .select(*[F.col(f"_w.{c}").alias(c) for c in cols], "content_hash")
+    )

@@ -56,3 +56,73 @@ def test_commit_properties_hook_gates_cleanly(spark):
         spark, {"fence.x": "1"}, lambda: ran.append(1)
     )
     assert ok is False and ran == []
+
+
+class _StubResult:
+    def first(self):
+        return None
+
+    def collect(self):
+        return []
+
+
+class _RecordingSpark:
+    """SQL-recording stand-in: lets the merge_batch control flow run
+    without an Iceberg catalog so the COMMIT ORDERING is pinned by a
+    test that needs no jar (round-3 VERDICT #7)."""
+
+    def __init__(self):
+        self.sqls: list[str] = []
+
+    def sql(self, q: str):
+        self.sqls.append(" ".join(q.split()))
+        return _StubResult()
+
+
+def _one_event_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [("a", [1], 1, "s", "insert", 1, 0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, seq_no long, batch_id long",
+    ).withColumn("event_ts", F.current_timestamp())
+
+
+def test_fallback_path_orders_data_then_fence(spark):
+    """No CommitMetadata hook → the fallback must commit DATA (MERGE)
+    first and the fence (ALTER TABLE) second: a crash between the two
+    re-applies an idempotent batch instead of fencing off unwritten
+    data."""
+    rec = _RecordingSpark()
+    assert iceberg_sink.merge_batch(
+        rec, "cat.db.t", _one_event_df(spark), batch_id=3,
+        fence_stream_id="cdc",
+    )
+    merges = [i for i, q in enumerate(rec.sqls) if q.startswith("MERGE INTO")]
+    alters = [i for i, q in enumerate(rec.sqls) if q.startswith("ALTER TABLE")]
+    assert len(merges) == 1 and len(alters) == 1
+    assert merges[0] < alters[0], rec.sqls
+    assert "'fence.cdc' = '3'" in rec.sqls[alters[0]]
+
+
+def test_commit_metadata_path_verifies_fence_landed(monkeypatch, spark):
+    """ADVICE r3: when the CommitMetadata hook reports success but the
+    fence property is NOT readable back (thread-local missed the commit
+    thread), merge_batch must stamp the TBLPROPERTIES fallback — the
+    fence can never be silently inoperative."""
+    rec = _RecordingSpark()
+    monkeypatch.setattr(
+        iceberg_sink,
+        "_run_with_commit_properties",
+        lambda sp, props, fn: (fn(), True)[1],
+    )
+    assert iceberg_sink.merge_batch(
+        rec, "cat.db.t", _one_event_df(spark), batch_id=5,
+        fence_stream_id="cdc",
+    )
+    merges = [i for i, q in enumerate(rec.sqls) if q.startswith("MERGE INTO")]
+    alters = [i for i, q in enumerate(rec.sqls) if q.startswith("ALTER TABLE")]
+    assert len(merges) == 1 and len(alters) == 1, rec.sqls
+    assert merges[0] < alters[0]
+    assert "'fence.cdc' = '5'" in rec.sqls[alters[0]]

@@ -308,3 +308,6 @@ def test_curate_stream_quality_and_dedup(spark, tmp_path):
     bgot = curate_stream(batch).collect()
     assert len(bgot) == 2
     assert {r["content_hash"] for r in bgot} == set(by_hash)
+    # deterministic batch winner (ADVICE r3): FIRST arrival by
+    # (ingest_ts, doc_id), not an arbitrary dropDuplicates survivor
+    assert {r["doc_id"] for r in bgot} == {1, 3}
