@@ -41,26 +41,31 @@ PARITY_QUERIES = [
     "histogram_counts",
     "minhash_lsh_candidates",
     "embedding_cosine_topk",
-    "ivf_topk",
     "pack_chunks",
 ]
+# ivf is timed separately below: build (write-time index state — centroid
+# TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs
+# the probe/query path a user actually pays per query (round-3 VERDICT #8:
+# the old single number conflated the two).
 
 
 def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
                      strategy: str, n_batches: int = 8,
-                     dedup: str = "max_by", repeats: int = 2) -> dict:
+                     dedup: str = "max_by", repeats: int = 3) -> dict:
     """Generate a change log over the sf documents universe, write it as
     batch files (not timed), then time the replay: per-batch dedup + MERGE
     + commit, including the periodic compaction — the sustained-ingest
     number the north rule targets.
 
     The replay is repeated ``repeats`` times against a fresh table (same
-    pre-generated events) and the BEST run is reported, with every run's
-    ev/s recorded in ``all_runs_events_per_sec``: the shared host shows
-    2-2.4x run-to-run interference swings on identical configs (r3 sweep:
-    804k/1034k/790k/431k ev/s for the same settings), so a single draw
-    measures the host, not the engine. Best-of-N is the standard remedy;
-    the full distribution stays visible for honesty."""
+    pre-generated events): the shared host shows 2-2.4x run-to-run
+    interference swings on identical configs (r3 sweep: 804k/1034k/790k/
+    431k ev/s for the same settings), so a single draw measures the
+    host, not the engine. The HEADLINE ``events_per_sec`` is the MEDIAN
+    run (ADVICE r3: best-of-N systematically overstates sustained
+    throughput and broke cross-round comparability);
+    ``events_per_sec_best`` and the full ``all_runs_events_per_sec``
+    distribution stay visible."""
     # doc universe ≈ events/20 (sustained-upsert regime: table comparable
     # to cumulative batches, ~20 versions per doc), floored at the sf
     # documents universe
@@ -96,7 +101,11 @@ def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
                 strategy=strategy, dedup=dedup, compact_every=0,
             )
         runs.append((time.monotonic() - t0, table))
-    replay_secs, table = min(runs, key=lambda x: x[0])
+    by_time = sorted(runs, key=lambda x: x[0])
+    # upper median run: the true middle for odd N, the conservative
+    # (slower) of the two middles for even N — never silently the best
+    replay_secs, table = by_time[len(by_time) // 2]
+    best_secs = by_time[0][0]
     # maintenance + read-side costs reported separately: at cluster scale
     # compaction is an async rewrite_data_files job off the ingest path
     compact_secs = 0.0
@@ -114,7 +123,8 @@ def bench_cdc_replay(spark, sf_dir: str, work_dir: str, n_events: int,
         "compaction_secs": round(compact_secs, 3),
         "final_read_secs": round(read_secs, 3),
         "events": n_total,
-        "events_per_sec": round(n_total / replay_secs, 1),
+        "events_per_sec": round(n_total / replay_secs, 1),   # MEDIAN run
+        "events_per_sec_best": round(n_total / best_secs, 1),
         "all_runs_events_per_sec": [
             round(n_total / s, 1) for s, _ in runs
         ],
@@ -162,6 +172,33 @@ def main() -> None:
             df = qmap[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             queries[name] = round(time.monotonic() - t0, 3)
+
+        if qmap:
+            # IVF: index build (write-time state) timed apart from the
+            # probe path a query actually pays (round-3 VERDICT #8)
+            from arango_etl_spark.operators.similarity import (
+                IvfIndex,
+                build_ivf_index,
+                ivf_query,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            t0 = time.monotonic()
+            index = build_ivf_index(emb, n_centroids=16)
+            clustered = index.clustered.cache()
+            clustered.count()  # materialize assignment, as a table would
+            queries["ivf_build"] = round(time.monotonic() - t0, 3)
+            served = IvfIndex(
+                index.centroids, clustered, index.id_col, index.vec_col
+            )
+            qdf = emb.where(F.col("vec_id") == 0).select(
+                F.lit(0).alias("query_id"), "embedding"
+            )
+            t0 = time.monotonic()
+            ivf_query(served, qdf, k=10, n_probe=4, single_query=True) \
+                .write.format("noop").mode("overwrite").save()
+            queries["ivf_topk"] = round(time.monotonic() - t0, 3)
+            clustered.unpersist()
 
         total = round(sum(queries.values()), 3)
         print(json.dumps({

@@ -405,6 +405,54 @@ def test_geo_oracle_res_restriction(spark):
     assert (px, py) == (cx >> 8, cy >> 8)
 
 
+def test_geo_h3_mode_gates_cleanly_without_package(spark):
+    """scheme='h3' must raise a labeled ImportError when the public h3
+    package is absent (this image) — the grid scheme stays the default."""
+    import pytest as _pytest
+
+    from arango_etl_spark.operators import geo
+
+    try:
+        import h3  # noqa: F401
+    except ImportError:
+        pts = spark.createDataFrame(
+            [(1, 37.5, -122.3)], "user_id long, lat double, lng double"
+        )
+        with _pytest.raises(ImportError, match="h3"):
+            geo.geo_enrich(pts, "lat", "lng", res=9, scheme="h3")
+    else:
+        _pytest.skip("h3 installed — covered by test_geo_h3_consistency")
+
+
+def test_geo_h3_consistency(spark):
+    """H3 mode (runs only where `pip install h3` happened): same five
+    columns, parent contract holds (cell_to_parent of the cell), and the
+    cell center rounds to the h3 library's own answer."""
+    import pytest as _pytest
+
+    h3 = _pytest.importorskip("h3")
+
+    from arango_etl_spark.operators import geo
+
+    pts = spark.createDataFrame(
+        [(1, 37.5, -122.3), (2, -33.86, 151.21)],
+        "user_id long, lat double, lng double",
+    )
+    rows = geo.geo_enrich(pts, "lat", "lng", res=9, parent_res=5,
+                          scheme="h3").collect()
+    assert len(rows) == 2
+    for r in rows:
+        expect = h3.latlng_to_cell(r["lat"], r["lng"], 9)
+        assert r["cell"] == expect
+        assert r["parent_cell"] == h3.cell_to_parent(expect, 5)
+        la, ln = h3.cell_to_latlng(expect)
+        assert (r["cell_lat"], r["cell_lng"]) == (round(la, 6), round(ln, 6))
+        import json as _json
+
+        poly = _json.loads(r["geojson"])["coordinates"][0]
+        assert poly[0] == poly[-1] and len(poly) >= 7
+
+
 # --------------------------------------------------------------- packing
 def test_pack_sequences_invariants(spark):
     """Every chunk except each group's last is exactly chunk_len; token
