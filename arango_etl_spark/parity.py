@@ -675,6 +675,83 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 19c. ivf_topk_multi — the MULTI-query IVF path: one shared index, three
+# probes, and the general two-phase re-rank (partition-local rank + bounded
+# merge aggregate — the round-3 VERDICT #1 fix) under the oracle gate. The
+# DuckDB mirror extends _IVF_SQL's centroid/assignment CTEs with per-query
+# probe selection and a per-query row_number re-rank.
+# --------------------------------------------------------------------------
+_IVF_MULTI_SQL = """
+WITH h AS (
+    SELECT vec_id, embedding,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hh
+    FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+           embedding AS ce
+    FROM h ORDER BY hh, vec_id LIMIT 16
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(c.ce, q.qe)
+                            / (sqrt(list_dot_product(c.ce, c.ce))
+                               * sqrt(list_dot_product(q.qe, q.qe)))
+                            DESC, c.cid ASC
+               ) AS rn
+        FROM cent c CROSS JOIN q
+    ) WHERE rn <= 4
+), assign AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.embedding, c.ce)
+                        / (sqrt(list_dot_product(e.embedding, e.embedding))
+                           * sqrt(list_dot_product(c.ce, c.ce)))
+                        DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+), cand AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(e.embedding, q.qe)
+           / (sqrt(list_dot_product(e.embedding, e.embedding))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS sim_raw
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id AND a.rn = 1
+    JOIN probe p ON p.cid = a.cid
+    JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, round(sim_raw, 4) AS cos_sim FROM (
+    SELECT query_id, vec_id, sim_raw,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY sim_raw DESC, vec_id ASC
+           ) AS rn
+    FROM cand
+) WHERE rn <= 10
+"""
+
+
+@_register("ivf_topk_multi", _IVF_MULTI_SQL)
+def ivf_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(e, n_centroids=16)
+    return ivf_query(index, q, k=10, n_probe=4)
+
+
+# --------------------------------------------------------------------------
 # 20. pricing_summary — TPC-H Q1-style multi-agg (SURVEY.md §2.5 parity /
 # bench headline; exercises partial-agg + codegen)
 # --------------------------------------------------------------------------
@@ -1934,6 +2011,65 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_local_supplier_volume — TPC-H Q5: 6-table join tree (customer ⋈
+# orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with the classic
+# same-nation customer/supplier equi-condition. Exercises join ordering
+# over two tiny broadcast dims + three fact-side joins and a final
+# one-row-per-nation aggregate.
+# --------------------------------------------------------------------------
+_Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@_register("q5_local_supplier_volume", _Q5_SQL)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # region/nation are tiny → broadcast; the supplier dim is small at
+    # every sf (suppliers ≪ lineitems) → broadcast too, so the only
+    # shuffles are the two fact-side hash joins + the final 1-row-per-
+    # nation aggregate (partial map-side).
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
     )
 
 

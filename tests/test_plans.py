@@ -85,6 +85,17 @@ def test_q10_broadcasts_dim_and_pushes_filters(spark):
     assert "partial_sum" in plan, plan[:2000]
 
 
+def test_q5_broadcasts_dims_and_pushes_filters(spark):
+    """The 6-table Q5 join tree: region/nation/supplier ride broadcasts
+    (no shuffle for dims), the date + region filters reach the parquet
+    scans, and the nation aggregate partial-aggregates map-side."""
+    df = parity.q5_local_supplier_volume(spark, SF)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "EqualTo(r_name,ASIA)" in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:2000]
+
+
 def test_jaccard_single_tokenization_pass(spark):
     """jaccard_ngram_pairs must evaluate the shingle pipeline ONCE: the
     per-doc size branch and the pair branch share one _bucket_groups
@@ -142,6 +153,7 @@ def test_similarity_family_never_unpartitioned_window(spark):
         ivf_query(index, q_lit, k=5, n_probe=4),
         ivf_query(index, q_multi, k=5, n_probe=4),
         parity.ivf_topk(spark, "/root/testdata/sf0.001"),
+        parity.ivf_topk_multi(spark, "/root/testdata/sf0.001"),
         parity.cosine_topk_multi(spark, "/root/testdata/sf0.001"),
     ]
     for i, df in enumerate(frames):
