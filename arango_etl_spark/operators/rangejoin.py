@@ -1,0 +1,88 @@
+"""Interval-containment (range) join — the temporal-join operator Spark
+lacks natively at scale.
+
+A bare ``f.ts >= i.start AND f.ts < i.end`` join predicate has no
+equi-key, so Catalyst plans BroadcastNestedLoopJoin — every fact row is
+tested against EVERY interval (O(n·m); with a non-broadcastable interval
+side it degrades further to a cartesian). The standard scale shape
+(Flink's interval join, Databricks' range-join optimization) is BIN
+BUCKETING:
+
+1. pick a bin width; every interval registers once per bin it overlaps
+   (one ``explode(sequence(...))`` — map-side);
+2. every fact row lands in exactly ONE bin (its timestamp's);
+3. an equi-join on the bin key prunes candidates to intervals
+   overlapping that bin, then the exact containment predicate filters.
+
+Each (fact, interval) pair can only meet in the fact's single bin, so no
+dedup is needed. The join is a plain hash equi-join: Spark broadcasts
+the exploded interval side when small, else shuffles both sides on the
+bin key — distributed either way, with skew bounded by interval density
+per bin (tune ``bin_seconds`` toward the typical interval length: too
+coarse → many false candidates per bin; too fine → interval×bins blowup).
+
+Semantics are half-open ``[start, end)`` at millisecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to every interval containing its timestamp
+    (``start <= ts < end``). Returns facts' columns + intervals' columns.
+
+    ``how`` is ``inner`` or ``left`` (left keeps unmatched facts with
+    null interval columns — implemented as the binned inner join plus a
+    broadcast-pruned anti side, so the nested-loop trap is avoided in
+    both modes)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    binw = F.lit(int(bin_seconds) * 1000)  # millis: sub-second-safe
+    f_binned = facts.withColumn(
+        "_bin", F.floor(F.unix_millis(F.col(ts_col)) / binw)
+    )
+    i_binned = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(start_col)) / binw),
+                # end is EXCLUSIVE: an interval ending exactly on a bin
+                # boundary must not register in the bin that starts there
+                F.floor((F.unix_millis(F.col(end_col)) - 1) / binw),
+            )
+        ),
+    )
+    matched = (
+        f_binned.join(i_binned, "_bin")
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )
+    if how == "inner":
+        return matched
+    # left: unmatched facts = anti-join on the same binned candidates
+    unmatched = f_binned.join(
+        i_binned,
+        (f_binned["_bin"] == i_binned["_bin"])
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) < F.col(end_col)),
+        "left_anti",
+    ).drop("_bin")
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(
+            dict(intervals.dtypes)[c]
+        ))
+    return matched.unionByName(unmatched)

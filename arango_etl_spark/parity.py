@@ -1840,6 +1840,84 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 41a. range_join_windows — interval-containment join via the binned
+# range-join operator (operators/rangejoin.py): events against derived
+# per-day 02:00-04:00 maintenance windows, half-open [start, end). The
+# oracle is the plain inequality join — the bin bucketing must be
+# invisible in the result. Output is exact-integer/timestamp (no float
+# hazard).
+# --------------------------------------------------------------------------
+_RANGE_JOIN_SQL = """
+WITH w AS (
+    SELECT DISTINCT
+           date_trunc('day', ts) + INTERVAL 2 HOUR AS start_ts,
+           date_trunc('day', ts) + INTERVAL 4 HOUR AS end_ts
+    FROM events
+)
+SELECT e.event_id, w.start_ts AS win_start
+FROM events e
+JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+"""
+
+
+@_register("range_join_windows", _RANGE_JOIN_SQL)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wins = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("_day"))
+        .distinct()
+        .select(
+            (F.col("_day") + F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+            (F.col("_day") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+        )
+    )
+    return range_join(
+        ev.select("event_id", "ts"), wins, ts_col="ts",
+        bin_seconds=3600,
+    ).select("event_id", F.col("start_ts").alias("win_start"))
+
+
+# --------------------------------------------------------------------------
+# 41b. vocab_topk — global token-vocabulary top-50 by frequency over the
+# synthesized token arrays: map-side explode + partial-aggregating count,
+# then a DISTRIBUTED global top-k (TakeOrderedAndProject — local k-row
+# heaps per partition, driver merge; never a global window). Exact
+# integer output.
+# --------------------------------------------------------------------------
+_VOCAB_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {tokens_sql("doc_id", "doc_id")} AS tokens FROM documents
+), t AS (
+    SELECT unnest(tokens) AS token FROM d
+)
+SELECT CAST(token AS INTEGER) AS token, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
+@_register("vocab_topk", _VOCAB_SQL)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            tokens_expr(F.col("doc_id"), F.col("doc_id"))
+        ).alias("token")
+    )
+    return (
+        d.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # 42. redact_pii_docs — pre-training PII scrub (emails/URLs/phones →
 # placeholder tokens) + per-doc redaction count (operators/text.py;
 # lookaround-free patterns run identically under Java regex and RE2).

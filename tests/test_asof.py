@@ -104,3 +104,77 @@ def test_asof_value_col_clash_raises(spark):
     )
     with pytest.raises(ValueError, match="already exist"):
         asof_join(left, right, ["key"], "ts", ["quote"])
+
+
+# ---------------------------------------------------------- range join
+def _rj_frames(spark):
+    facts = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(3599)), (3, ts(3600)),
+         (4, ts(7199)), (5, ts(10800))],
+        "event_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("a", ts(0), ts(3600)),        # [0, 3600)
+         ("b", ts(3600), ts(7200)),     # [3600, 7200) — starts on boundary
+         ("c", ts(3500), ts(3700))],    # straddles a bin boundary
+        "iv string, start_ts timestamp, end_ts timestamp",
+    )
+    return facts, ivs
+
+
+def test_range_join_half_open_and_bin_edges(spark):
+    """[start, end): boundary fact joins the STARTING interval only; an
+    interval straddling a bin edge matches facts in both bins; each pair
+    appears exactly once despite multi-bin registration."""
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts, ivs = _rj_frames(spark)
+    got = {
+        (r["event_id"], r["iv"])
+        for r in range_join(facts, ivs, bin_seconds=3600).collect()
+    }
+    assert got == {
+        (1, "a"), (2, "a"),        # 3599 in [0,3600); NOT in b
+        (2, "c"), (3, "c"),        # c straddles the 3600 bin edge
+        (3, "b"), (4, "b"),        # 3600 exactly → b, not a
+    }
+
+
+def test_range_join_subsecond_end(spark):
+    """Millisecond binning: an interval ending at x.5s still catches a
+    fact at x.3s (a seconds-truncated bin key would miss it)."""
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(1, ts(7200) + dt.timedelta(milliseconds=300))],
+        "event_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("s", ts(7100), ts(7200) + dt.timedelta(milliseconds=500))],
+        "iv string, start_ts timestamp, end_ts timestamp",
+    )
+    got = range_join(facts, ivs, bin_seconds=3600).collect()
+    assert [(r["event_id"], r["iv"]) for r in got] == [(1, "s")]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts, ivs = _rj_frames(spark)
+    rows = range_join(facts, ivs, bin_seconds=3600, how="left").collect()
+    by_event: dict = {}
+    for r in rows:
+        by_event.setdefault(r["event_id"], []).append(r["iv"])
+    assert sorted(by_event[5]) == [None]          # outside every interval
+    assert sorted(by_event[2]) == ["a", "c"]
+    assert len(rows) == 7                          # 6 matches + 1 null row
+
+
+def test_range_join_rejects_unknown_how(spark):
+    import pytest
+
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts, ivs = _rj_frames(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(facts, ivs, how="full")
