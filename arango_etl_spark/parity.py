@@ -1918,6 +1918,41 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 41c. length_quantiles — per-source document-length distribution (the
+# corpus-profiling step before setting curation thresholds). EXACT
+# percentiles: Spark's `percentile` and DuckDB's `quantile_cont` both
+# compute the same linear-interpolation definition in doubles, so the
+# values agree bit-for-bit on integer inputs (unlike approx_percentile /
+# t-digest, which is engine-specific and would never hash-match). At
+# 100 TB swap in approx_percentile — exact percentile needs a per-group
+# sort; the parity pair pins the exact semantics.
+# --------------------------------------------------------------------------
+_QUANTILES_SQL = """
+SELECT source,
+       round(quantile_cont(len(text), 0.25), 6) AS p25,
+       round(quantile_cont(len(text), 0.50), 6) AS p50,
+       round(quantile_cont(len(text), 0.75), 6) AS p75,
+       round(quantile_cont(len(text), 0.95), 6) AS p95,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@_register("length_quantiles", _QUANTILES_SQL)
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("_len")
+    )
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(_len, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(_len, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(_len, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(_len, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 42. redact_pii_docs — pre-training PII scrub (emails/URLs/phones →
 # placeholder tokens) + per-doc redaction count (operators/text.py;
 # lookaround-free patterns run identically under Java regex and RE2).
