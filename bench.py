@@ -42,6 +42,8 @@ PARITY_QUERIES = [
     "minhash_lsh_candidates",
     "embedding_cosine_topk",
     "pack_chunks",
+    "q5_local_supplier_volume",   # NEW r4 (additive — totals not
+    "range_join_windows",         # comparable across rounds)
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs
