@@ -1918,6 +1918,141 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 41d. scd2_history — SCD-type-2 validity intervals over the synthesized
+# 5-version change log (operators/scd2.py): each version valid from its
+# seq until the key's next seq (exclusive); open non-delete intervals are
+# the LWW-current rows. The per-key lead() window partitions on the real
+# doc key.
+# --------------------------------------------------------------------------
+_SCD2_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)       AS doc_id,
+        d.doc_id * 5 + t.k                        AS seq_no,
+        CASE WHEN (d.doc_id * 3 + t.k) % 11 = 0
+             THEN 'delete' ELSE 'update' END      AS op,
+        {n_tok_sql("d.doc_id", "d.doc_id*5 + t.k")}  AS n_tok
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+)
+SELECT doc_id, seq_no, op, n_tok,
+       lead(seq_no) OVER (PARTITION BY doc_id ORDER BY seq_no)
+           AS valid_to_seq,
+       (lead(seq_no) OVER (PARTITION BY doc_id ORDER BY seq_no) IS NULL
+        AND op <> 'delete') AS is_current
+FROM ev
+"""
+
+
+@_register("scd2_history", _SCD2_SQL)
+def scd2_history_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import n_tok_expr
+    from arango_etl_spark.operators.scd2 import scd2_history
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0,
+            "delete",
+        ).otherwise(F.lit("update")).alias("op"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+    )
+    return scd2_history(ev)
+
+
+# --------------------------------------------------------------------------
+# 41e. snapshot_diff_states — change-data-feed GENERATION: the per-key
+# insert/update/delete delta between two LWW-final states of the same
+# log (versions 1-3 vs all 5) via one null-safe full-outer key join
+# (operators/scd2.snapshot_diff). Unchanged keys drop out.
+# --------------------------------------------------------------------------
+_DIFF_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)       AS doc_id,
+        d.doc_id * 5 + t.k                        AS seq_no,
+        CASE WHEN (d.doc_id * 3 + t.k) % 11 = 0
+             THEN 'delete' ELSE 'update' END      AS op,
+        {tokens_sql("d.doc_id", "d.doc_id*5 + t.k")} AS tokens,
+        {n_tok_sql("d.doc_id", "d.doc_id*5 + t.k")}  AS n_tok
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+), old_state AS (
+    SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY seq_no DESC
+        ) AS rn FROM ev WHERE seq_no % 5 IN (1, 2, 3)
+    ) WHERE rn = 1 AND op <> 'delete'
+), new_state AS (
+    SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY seq_no DESC
+        ) AS rn FROM ev
+    ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT doc_id, change_type FROM (
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                WHEN (o.tokens_csv IS DISTINCT FROM n.tokens_csv)
+                  OR (o.n_tok IS DISTINCT FROM n.n_tok) THEN 'update'
+           END AS change_type
+    FROM old_state o FULL OUTER JOIN new_state n ON o.doc_id = n.doc_id
+) WHERE change_type IS NOT NULL
+"""
+
+
+@_register("snapshot_diff_states", _DIFF_SQL)
+def snapshot_diff_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.operators.scd2 import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    # keep the string key under a DISTINCT name while the numeric doc_id
+    # is still referenced: shadowing it here and full-outer-SELF-joining
+    # downstream lets Spark's self-join attribute dedup rebind the
+    # numeric reference to the string column (runtime CAST error)
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias(
+            "doc_key"
+        ),
+        seq.alias("seq_no"),
+        F.col("k"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0,
+            "delete",
+        ).otherwise(F.lit("update")).alias("op"),
+        F.array_join(
+            tokens_expr(F.col("doc_id"), seq), ","
+        ).alias("tokens_csv"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+    )
+
+    def final_state(events: DataFrame) -> DataFrame:
+        w = Window.partitionBy("doc_key").orderBy(F.col("seq_no").desc())
+        return (
+            events.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+            .select("doc_key", "tokens_csv", "n_tok")
+        )
+
+    return snapshot_diff(
+        final_state(ev.where(F.col("k") <= 3)),
+        final_state(ev),
+        key_col="doc_key",
+        compare_cols=["tokens_csv", "n_tok"],
+    ).select(F.col("doc_key").alias("doc_id"), "change_type")
+
+
+# --------------------------------------------------------------------------
 # 41c. length_quantiles — per-source document-length distribution (the
 # corpus-profiling step before setting curation thresholds). EXACT
 # percentiles: Spark's `percentile` and DuckDB's `quantile_cont` both

@@ -675,3 +675,40 @@ def test_near_dup_representatives_policies(spark):
 
     with _p.raises(ValueError, match="prefer"):
         dedup.near_dup_representatives(df, prefer="newest")
+
+
+# ------------------------------------------------------------ CDC views
+def test_scd2_history_intervals(spark):
+    from arango_etl_spark.operators.scd2 import scd2_history
+
+    ev = spark.createDataFrame(
+        [("a", 1, "insert"), ("a", 3, "update"), ("a", 7, "delete"),
+         ("b", 2, "insert")],
+        "doc_id string, seq_no long, op string",
+    )
+    rows = {(r["doc_id"], r["seq_no"]): r for r in scd2_history(ev).collect()}
+    assert rows[("a", 1)]["valid_to_seq"] == 3
+    assert rows[("a", 3)]["valid_to_seq"] == 7
+    assert rows[("a", 7)]["valid_to_seq"] is None
+    assert not rows[("a", 7)]["is_current"]        # tombstone never current
+    assert rows[("b", 2)]["is_current"]
+    assert sum(1 for r in rows.values() if r["is_current"]) == 1
+
+
+def test_snapshot_diff_change_types(spark):
+    from arango_etl_spark.operators.scd2 import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("n", None)],
+        "doc_id string, v int",
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("d", 4), ("n", None)],
+        "doc_id string, v int",
+    )
+    got = {
+        r["doc_id"]: r["change_type"]
+        for r in snapshot_diff(old, new).collect()
+    }
+    # unchanged keys (a; n with null-safe compare) are absent
+    assert got == {"b": "update", "c": "delete", "d": "insert"}
