@@ -141,7 +141,8 @@ def generate_events(spark: SparkSession, cfg: GeneratorConfig) -> DataFrame:
 
 
 def write_event_batches(
-    spark: SparkSession, cfg: GeneratorConfig, out_dir: str
+    spark: SparkSession, cfg: GeneratorConfig, out_dir: str,
+    files_per_batch: int = 1,
 ) -> list[str]:
     """Materialize one parquet subdir per batch (the micro-batch file feed).
 
@@ -149,6 +150,13 @@ def write_event_batches(
     source with ``maxFilesPerTrigger`` tails them roughly in order — while
     each batch internally contains out-of-order seq_nos (the reference's
     async out-of-order file processing, /root/reference/README.md:7).
+
+    ``files_per_batch`` pins the file count per batch dir (default 1 —
+    one file per poc epoch, the reference's feed shape) so
+    ``maxFilesPerTrigger`` maps DETERMINISTICALLY to batches-per-epoch:
+    the previous partition-derived count made downstream epoch counts
+    (and every epoch-cadence assertion) depend on the writing session's
+    parallelism.
     """
     events = generate_events(spark, cfg)
     paths = []
@@ -164,12 +172,8 @@ def write_event_batches(
             )
             if not has_evolved:
                 batch_df = batch_df.drop("quality_score")
-        # fewer-but-larger files per batch dir: the generator spreads
-        # events over defaultParallelism partitions, so /8 is a known
-        # quantity without an .rdd probe (round-3 VERDICT #6 hygiene:
-        # df.rdd builds the whole RDD-conversion plan just to read a
-        # partition count)
-        n_out = max(1, spark.sparkContext.defaultParallelism // 8)
-        batch_df.coalesce(n_out).write.mode("overwrite").parquet(p)
+        batch_df.coalesce(max(1, files_per_batch)).write.mode(
+            "overwrite"
+        ).parquet(p)
         paths.append(p)
     return paths
