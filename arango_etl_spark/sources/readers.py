@@ -54,6 +54,28 @@ class ReadResult:
             self._count = int(row["corrupt"])
         return self._count
 
+    def quarantine(self, path: str) -> int:
+        """Dead-letter sink: APPEND the undecodable records to ``path``
+        (parquet) with their raw text, source file and a UTC write
+        timestamp, and return how many this call parked. Log-and-skip
+        (the reference's policy) destroys the evidence — a DLQ keeps the
+        poison records replayable after the producer bug is fixed.
+        Returns 0 (and writes nothing) for self-describing sources with
+        no corrupt-record channel. The row scan keeps every data column
+        (partial CSV parses retain their parsed fields as context, and
+        the corrupt-only-column scan restriction never triggers)."""
+        if self._raw is None:
+            return 0
+        bad = self._raw.where(F.col("_corrupt_record").isNotNull()).select(
+            "*",
+            F.input_file_name().alias("_source_file"),
+            F.current_timestamp().alias("_quarantined_at"),
+        )
+        n = self.corrupt_count
+        if n:
+            bad.write.mode("append").parquet(path)
+        return n
+
 
 def _with_corrupt(schema: T.StructType) -> T.StructType:
     return T.StructType(

@@ -39,6 +39,19 @@ def test_json_reader_skips_corrupt_lines(spark, tmp_path):
     res = read_events_json(spark, p)
     assert res.corrupt_count == 2
     assert res.events.count() == events.count()
+    # dead-letter quarantine keeps the poison records replayable
+    dlq = str(tmp_path / "dlq")
+    assert res.quarantine(dlq) == 2
+    parked = spark.read.parquet(dlq)
+    raws = {r["_corrupt_record"] for r in parked.collect()}
+    assert raws == {'{"op": "insert", "broken', "not json at all"}
+    assert parked.columns[-2:] == ["_source_file", "_quarantined_at"]
+    # parquet path has no corrupt channel → no-op quarantine
+    from arango_etl_spark.sources.readers import read_events_parquet
+
+    pq = str(tmp_path / "ev_pq")
+    events.coalesce(1).write.parquet(pq)
+    assert read_events_parquet(spark, pq).quarantine(dlq + "2") == 0
     # and the cleaned stream replays to the same state as the parquet path
     t = SnapshotTable.create(str(tmp_path / "t"), PAYLOAD_SCHEMA, n_buckets=8)
     apply_changes(spark, t, res.events)
