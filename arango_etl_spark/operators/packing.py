@@ -153,6 +153,32 @@ def deterministic_sample(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    splits: dict[str, int],
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the portable hash's
+    permille bucket walks the ``splits`` permille weights (which must sum
+    to 1000) in sorted-name order, so every row lands in exactly one
+    named split — stable across runs, engines and cluster sizes, and
+    membership survives corpus growth (a doc's split never depends on
+    other rows; the standard requirement so eval sets stay eval sets
+    across refreshes). Map-only; no shuffle."""
+    total = sum(splits.values())
+    if total != 1000 or not splits:
+        raise ValueError(f"split permilles must sum to 1000, got {total}")
+    h = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(1000))
+    expr = None
+    lo = 0
+    for name, p in sorted(splits.items()):
+        cond = h < F.lit(lo + p)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += p
+    return df.withColumn(split_col, expr)
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, int],

@@ -1918,6 +1918,35 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 41f. split_assignment — deterministic train/val/test assignment by
+# portable-hash permille bucket (operators/packing.assign_splits):
+# membership is a pure function of the doc id, so eval sets survive
+# corpus refreshes. Map-only.
+# --------------------------------------------------------------------------
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < 10  THEN 'test'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 < 990 THEN 'train'
+         ELSE 'val'
+       END AS split
+FROM documents
+"""
+
+
+@_register("split_assignment", _SPLIT_SQL)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.packing import assign_splits
+
+    return assign_splits(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        {"train": 980, "val": 10, "test": 10},
+    )
+
+
+# --------------------------------------------------------------------------
 # 41d. scd2_history — SCD-type-2 validity intervals over the synthesized
 # 5-version change log (operators/scd2.py): each version valid from its
 # seq until the key's next seq (exclusive); open non-delete intervals are

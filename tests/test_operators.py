@@ -712,3 +712,28 @@ def test_snapshot_diff_change_types(spark):
     }
     # unchanged keys (a; n with null-safe compare) are absent
     assert got == {"b": "update", "c": "delete", "d": "insert"}
+
+
+def test_assign_splits_deterministic_partition(spark, docs):
+    from arango_etl_spark.operators.packing import assign_splits
+
+    out = assign_splits(
+        docs.select("doc_id"), {"train": 980, "val": 10, "test": 10}
+    )
+    rows = out.collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["split"] is not None for r in rows)       # total cover
+    # growth-stable: the same doc keeps its split in a smaller corpus
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            docs.limit(50).select("doc_id"),
+            {"train": 980, "val": 10, "test": 10},
+        ).collect()
+    }
+    full = {r["doc_id"]: r["split"] for r in rows}
+    assert all(full[d] == s for d, s in sub.items())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1000"):
+        assign_splits(docs, {"train": 900})
