@@ -148,7 +148,7 @@ def main() -> None:
     strategy = os.environ.get("BENCH_STRATEGY", "mor")
     dedup = os.environ.get("BENCH_DEDUP", "max_by")
     n_batches = int(os.environ.get("BENCH_N_BATCHES", "4"))
-    repeats = int(os.environ.get("BENCH_REPLAY_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPLAY_REPEATS", "3"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     shuffle_partitions = int(
@@ -187,20 +187,34 @@ def main() -> None:
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             t0 = time.monotonic()
             index = build_ivf_index(emb, n_centroids=16)
-            clustered = index.clustered.cache()
-            clustered.count()  # materialize assignment, as a table would
+            # WRITE-TIME STATE, literally: persist the cell assignment as
+            # a parquet table (what a deployment bucket/partitions by
+            # _cluster). Queries then plan against a clean scan — the
+            # n_centroids×dim literal assignment expressions exist only
+            # in the build plan, so per-query driver-side analysis cost
+            # is independent of the centroid count.
+            ivf_dir = os.path.join(work_dir, "ivf_index")
+            index.clustered.write.mode("overwrite").parquet(ivf_dir)
             queries["ivf_build"] = round(time.monotonic() - t0, 3)
             served = IvfIndex(
-                index.centroids, clustered, index.id_col, index.vec_col
+                index.centroids, spark.read.parquet(ivf_dir),
+                index.id_col, index.vec_col,
             )
             qdf = emb.where(F.col("vec_id") == 0).select(
                 F.lit(0).alias("query_id"), "embedding"
             )
+            # first call pays one-time whole-stage-codegen compile of the
+            # probe/re-rank plan shape; the second measures the
+            # steady-state per-query cost against the standing index —
+            # reported as ivf_topk (both visible; round-3 VERDICT #8)
+            t0 = time.monotonic()
+            ivf_query(served, qdf, k=10, n_probe=4, single_query=True) \
+                .write.format("noop").mode("overwrite").save()
+            queries["ivf_topk_first"] = round(time.monotonic() - t0, 3)
             t0 = time.monotonic()
             ivf_query(served, qdf, k=10, n_probe=4, single_query=True) \
                 .write.format("noop").mode("overwrite").save()
             queries["ivf_topk"] = round(time.monotonic() - t0, 3)
-            clustered.unpersist()
 
         total = round(sum(queries.values()), 3)
         print(json.dumps({
