@@ -176,3 +176,65 @@ def test_geo_cell_invariants(spark, pts):
         _, x, y = r["cell"].split("_")
         _, px, py = r["parent_cell"].split("_")
         assert (int(x) >> 5, int(y) >> 5) == (int(px), int(py))
+
+
+# ---------------------------------------------------------------- range join
+@st.composite
+def _interval_cases(draw):
+    n_facts = draw(st.integers(1, 25))
+    n_ivs = draw(st.integers(1, 10))
+    facts = [
+        (i, draw(st.integers(0, 10_000)))          # ts in seconds*10
+        for i in range(n_facts)
+    ]
+    ivs = []
+    for j in range(n_ivs):
+        a = draw(st.integers(0, 10_000))
+        b = draw(st.integers(0, 10_000))
+        lo, hi = min(a, b), max(a, b)
+        ivs.append((j, lo, hi + draw(st.integers(0, 5))))
+    return facts, ivs
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_interval_cases())
+def test_range_join_equals_naive_inequality_join(spark, case):
+    """For ANY fact/interval arrangement (zero-length, bin-straddling,
+    duplicate, nested, far-apart intervals) the binned range join must
+    produce the exact pair set of the naive inequality join, at a bin
+    width that is never aligned with the data."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts, ivs = case
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(deciseconds):
+        return t0 + _dt.timedelta(milliseconds=100 * deciseconds)
+
+    fdf = spark.createDataFrame(
+        [(i, ts(s)) for i, s in facts], "event_id long, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(j, ts(a), ts(b)) for j, a, b in ivs],
+        "iv long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["event_id"], r["iv"])
+        for r in range_join(fdf, idf, bin_seconds=7).collect()
+    }
+    naive = {
+        (i, j)
+        for i, s in facts
+        for j, a, b in ivs
+        if a <= s < b
+    }
+    assert got == naive
