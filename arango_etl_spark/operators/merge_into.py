@@ -122,9 +122,20 @@ def apply_changes(
     compact_every: int = 8,
     collect_metrics: bool = True,
     extra_summary: dict | None = None,
+    min_seq_exclusive: int | None = None,
 ) -> MergeResult:
     manifest = table.manifest()
     key_col = manifest["key_col"]
+
+    if min_seq_exclusive is not None:
+        # snapshot-bootstrap watermark (binlog-position semantics): events
+        # at or below the watermark are already REFLECTED in the
+        # bootstrapped state — replaying them is not merely redundant, it
+        # is WRONG (an old insert would resurrect a doc the snapshot
+        # knows was deleted, because the tombstone itself is not in the
+        # snapshot). Plain pushdown-able filter; see
+        # bootstrap_from_snapshot.
+        events = events.where(F.col("seq_no") > F.lit(min_seq_exclusive))
 
     # ---- fence check (O(1): one manifest read, no data touched —
     # replaces the reference's done-files anti-join scan, SURVEY.md F1).
@@ -388,4 +399,50 @@ def compact(spark: SparkSession, table: SnapshotTable) -> dict:
         mode="compact",
         one_row_per_key=True,
         expected_version=manifest["version"],
+    )
+
+
+def bootstrap_from_snapshot(
+    spark: SparkSession,
+    table: SnapshotTable,
+    snapshot: DataFrame,
+    watermark_seq: int,
+    batch_id: int = 0,
+    fence_stream_id: str | None = None,
+    **apply_kwargs,
+) -> MergeResult:
+    """Classic CDC bootstrap, step 1: bulk-load an existing table state
+    (a consistent snapshot taken at binlog position ``watermark_seq``)
+    before tailing the incremental log. Snapshot rows become synthetic
+    ``insert`` events AT the watermark with a fixed epoch event_ts, so:
+
+    - any change event with ``seq_no > watermark_seq`` wins over the
+      snapshot under the engine's LWW order — incremental catch-up just
+      works;
+    - the caller MUST replay the log with
+      ``apply_changes(min_seq_exclusive=watermark_seq)`` (or
+      ``IngestConfig.min_seq_exclusive``): pre-watermark events are
+      already reflected in the snapshot and replaying them would
+      resurrect docs the snapshot knows are deleted (their tombstones
+      are exactly what a snapshot does NOT carry).
+
+    Scale note: this is one bucketed write of the snapshot (the same
+    MoR path as any batch) — at 100 TB the snapshot load parallelizes
+    over the bucket layout like every other merge, and the watermark
+    filter on the incremental side is a pushdown-able scan predicate.
+    """
+    manifest = table.manifest()
+    key_col = manifest["key_col"]
+    if key_col not in snapshot.columns:
+        raise ValueError(f"snapshot lacks key column {key_col!r}")
+    events = snapshot.select(
+        "*",
+        F.lit("insert").alias("op"),
+        F.lit(int(watermark_seq)).alias("seq_no"),
+        F.lit(int(batch_id)).alias("batch_id"),
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("event_ts"),
+    )
+    return apply_changes(
+        spark, table, events, batch_id=batch_id,
+        fence_stream_id=fence_stream_id, **apply_kwargs,
     )

@@ -67,6 +67,11 @@ class IngestConfig:
     # previous snapshot for readers mid-swap.
     expire_every: int = 0
     expire_keep_last: int = 4
+    # snapshot-bootstrap watermark: drop events with seq_no <= this before
+    # merging (binlog-position semantics after bootstrap_from_snapshot —
+    # pre-watermark events are already in the snapshot and replaying one
+    # could resurrect a deleted doc). None = no filter.
+    min_seq_exclusive: int | None = None
 
 
 def run_ingest(
@@ -135,6 +140,7 @@ def run_ingest(
                 strategy=cfg.strategy,
                 dedup=cfg.dedup,
                 compact_every=cfg.compact_every,
+                min_seq_exclusive=cfg.min_seq_exclusive,
             )
             if (
                 cfg.expire_every

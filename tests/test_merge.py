@@ -277,3 +277,65 @@ def test_unicode_text_dedup_roundtrip(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
     fp = text.fingerprint(df).collect()
     assert len({r["content_md5"] for r in fp}) == 3
+
+
+# ----------------------------------------------------------- bootstrap
+def test_bootstrap_from_snapshot_with_watermark(spark, tmp_path):
+    """Classic CDC bootstrap: bulk-load a snapshot taken at binlog
+    position W, then replay ONLY events with seq_no > W. The end state
+    must equal a from-scratch replay of the full log — including the
+    resurrection hazard: doc 'x' was inserted (seq 2) and deleted
+    (seq 4) BEFORE the snapshot; its insert event is in the replayed log
+    and only the watermark filter keeps it dead."""
+    from arango_etl_spark.operators.merge_into import (
+        bootstrap_from_snapshot,
+    )
+
+    W = 5
+    log = [
+        ev("insert", "a", 1, [1]),
+        ev("insert", "x", 2, [9]),
+        ev("update", "a", 3, [3, 3]),
+        ev("delete", "x", 4, None),
+        # --- snapshot taken here (watermark W=5) ---
+        ev("update", "a", 7, [7]),
+        ev("insert", "b", 8, [8, 8]),
+        ev("insert", "x", 2, [9]),   # duplicate pre-watermark delivery
+    ]
+    full = mk_events(spark, log)
+
+    # from-scratch reference replay
+    ref = mk_table(tmp_path, "ref")
+    apply_changes(spark, ref, full)
+    expected = ref.read(spark).toPandas()
+
+    # snapshot = final state of the pre-watermark prefix (public view:
+    # deleted docs simply absent)
+    pre = mk_table(tmp_path, "pre")
+    apply_changes(spark, pre, mk_events(spark, log[:4]))
+    snapshot = pre.read(spark)
+    assert {r["doc_id"] for r in snapshot.collect()} == {"a"}
+
+    boot = mk_table(tmp_path, "boot")
+    bootstrap_from_snapshot(spark, boot, snapshot, watermark_seq=W)
+    # incremental catch-up: the full log arrives, watermark filters it
+    apply_changes(spark, boot, full, min_seq_exclusive=W)
+
+    got = boot.read(spark).toPandas()
+    assert_states_equal(got, expected)
+    assert "x" not in set(got["doc_id"])          # stayed dead
+    a_row = got[got["doc_id"] == "a"].iloc[0]
+    assert list(a_row["tokens"]) == [7]           # post-watermark won
+
+
+def test_bootstrap_rejects_missing_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from arango_etl_spark.operators.merge_into import (
+        bootstrap_from_snapshot,
+    )
+
+    t = mk_table(tmp_path, "k")
+    bad = spark.createDataFrame([(1,)], "not_key int")
+    with _pytest.raises(ValueError, match="key column"):
+        bootstrap_from_snapshot(spark, t, bad, watermark_seq=1)
