@@ -144,6 +144,26 @@ def cmd_current(spark, args) -> None:
     table = _table(args)
     lineage = LineageLog(args.lineage) if args.lineage else None
     schema = _widened_schema(args.extra_columns)
+    watermark = getattr(args, "bootstrap_watermark", None)
+    snap = getattr(args, "bootstrap_snapshot", None)
+    if snap is not None:
+        # classic CDC bootstrap: bulk-load the snapshot once (idempotent
+        # across restarts via the fence), then tail the log from the
+        # binlog position — see merge_into.bootstrap_from_snapshot
+        if watermark is None:
+            raise SystemExit("--bootstrap-snapshot requires "
+                             "--bootstrap-watermark")
+        from arango_etl_spark.operators.merge_into import (
+            bootstrap_from_snapshot,
+        )
+
+        if table.last_batch_id(f"{args.stream_id}_bootstrap") is None:
+            bootstrap_from_snapshot(
+                spark, table, spark.read.parquet(snap),
+                watermark_seq=watermark,
+                fence_stream_id=f"{args.stream_id}_bootstrap",
+                strategy=args.strategy, dedup=args.dedup,
+            )
     q = run_ingest(
         spark, args.events, table, args.checkpoint,
         lineage=lineage,
@@ -155,6 +175,7 @@ def cmd_current(spark, args) -> None:
             max_retries=args.max_retries,
             expire_every=args.expire_every,
             expire_keep_last=args.expire_keep_last,
+            min_seq_exclusive=watermark,
         ),
         event_schema=schema,
         available_now=args.drain,
@@ -272,6 +293,13 @@ def main() -> None:
     c.add_argument("--extra-columns", default=None,
                    help="comma list of name:type — widen the read schema "
                         "for additive evolution (superset-schema pattern)")
+    c.add_argument("--bootstrap-snapshot", default=None,
+                   help="parquet dir of an initial table snapshot: "
+                        "bulk-loaded once (fenced) before tailing")
+    c.add_argument("--bootstrap-watermark", type=int, default=None,
+                   help="binlog position of the snapshot: events with "
+                        "seq_no <= this are dropped from the tail "
+                        "(required with --bootstrap-snapshot)")
 
     # TOML/env settings become parser-level defaults: they pre-populate the
     # namespace, so subparser defaults don't clobber them while explicit

@@ -193,3 +193,48 @@ def test_cli_toml_config_and_env_precedence(spark, events_dir, tmp_path):
     assert_states_equal(actual, expected)
     # mor + compact_every=0 → delta files accumulated, never compacted
     assert t.manifest()["mode"] == "append"
+
+
+def test_cli_bootstrap_then_tail(spark, tmp_path):
+    """--bootstrap-snapshot + --bootstrap-watermark: bulk-load then tail
+    with the watermark filter — pre-watermark events in the feed (incl. a
+    resurrectable insert for a doc deleted before the snapshot) must not
+    affect the final state; restart must not re-apply the bootstrap."""
+    from tests.test_merge import ev, mk_events
+
+    W = 5
+    pre = [ev("insert", "a", 1, [1]), ev("insert", "x", 2, [9]),
+           ev("update", "a", 3, [3, 3]), ev("delete", "x", 4, None)]
+    post = [ev("update", "a", 7, [7]), ev("insert", "b", 8, [8, 8])]
+    feed = str(tmp_path / "feed")
+    # the tail feed carries BOTH halves (a real log replays from files
+    # that straddle the snapshot position)
+    mk_events(spark, pre).coalesce(1).write.parquet(f"{feed}/batch=00000")
+    mk_events(spark, post).coalesce(1).write.parquet(f"{feed}/batch=00001")
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [("a", [3, 3], 2, "src_0")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.parquet(snap)
+
+    table_dir = str(tmp_path / "tab")
+    cli_args = (
+        "--events", feed, "--table", table_dir, "--cores", "4",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "current", "--drain",
+        "--bootstrap-snapshot", snap, "--bootstrap-watermark", str(W),
+    )
+    run_cli(*cli_args)
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in SnapshotTable(table_dir).read(spark).collect()
+    }
+    assert got == {"a": [7], "b": [8, 8]}          # x stayed dead
+    # idempotent restart: bootstrap is fenced, state unchanged
+    run_cli(*cli_args)
+    got2 = {
+        r["doc_id"]: list(r["tokens"])
+        for r in SnapshotTable(table_dir).read(spark).collect()
+    }
+    assert got2 == got
