@@ -1918,6 +1918,100 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q18_large_volume_customers — TPC-H Q18 shape: the HAVING subquery is a
+# broadcast semi-join of the large-order keys (one partial-aggregating
+# pass over lineitem produces the key set; the fact re-scan joins it),
+# then a three-table join and per-order re-aggregation, top-50.
+# --------------------------------------------------------------------------
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 220
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 50
+"""
+
+
+@_register("q18_large_volume_customers", _Q18_SQL)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 220)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "_big_key")),
+            F.col("o_orderkey") == F.col("_big_key"),
+            "left_semi",
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# truncate_pad — token-sequence shaping for fixed-length training input:
+# truncate to max_len and right-pad with pad_id; emits the attention
+# length alongside. Pure columnar slice/concat — map-only at any scale.
+# --------------------------------------------------------------------------
+_TRUNCPAD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {tokens_sql("doc_id", "doc_id")} AS tokens FROM documents
+), shaped AS (
+    SELECT doc_id,
+           tokens[1:LEAST(len(tokens), 32)] AS kept,
+           LEAST(len(tokens), 32) AS attn_len
+    FROM d
+)
+SELECT doc_id,
+       CAST(attn_len AS INTEGER) AS attn_len,
+       array_to_string(
+           list_concat(kept,
+               list_transform(generate_series(1, 32 - attn_len), i -> -1)),
+           ',') AS padded_csv
+FROM shaped
+"""
+
+
+@_register("truncate_pad", _TRUNCPAD_SQL)
+def truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import tokens_expr
+
+    max_len, pad_id = 32, -1
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr(F.col("doc_id"), F.col("doc_id")).alias("tokens")
+    )
+    kept = F.slice(F.col("tokens"), 1, max_len)
+    attn = F.least(F.size("tokens"), F.lit(max_len))
+    # array_repeat, NOT sequence+transform: Spark's sequence(1, n) infers
+    # step -1 when n < 1 and yields [1, 0] instead of an empty pad
+    pad = F.array_repeat(F.lit(pad_id), (F.lit(max_len) - attn).cast("int"))
+    return d.select(
+        "doc_id",
+        attn.cast("int").alias("attn_len"),
+        F.array_join(F.concat(kept, pad), ",").alias("padded_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
 # 41f. split_assignment — deterministic train/val/test assignment by
 # portable-hash permille bucket (operators/packing.assign_splits):
 # membership is a pure function of the doc id, so eval sets survive
