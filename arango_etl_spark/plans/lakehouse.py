@@ -170,6 +170,40 @@ class SnapshotTable:
             resolved = lww_resolve(stored, m["key_col"])
         return resolved.where(~F.col("_deleted")).drop(*META_NAMES)
 
+    def read_keys(
+        self, spark: SparkSession, keys: list, manifest: dict | None = None
+    ) -> DataFrame:
+        """Point lookups (SURVEY F3's "read one doc" at table scale):
+        prune to the keys' BUCKETS before any data file is opened — the
+        scan touches |distinct key buckets| / n_buckets of the table's
+        files instead of all of them (pytest-pinned via inputFiles). The
+        key→bucket map comes from one row-local Spark job over the
+        literal keys (xxhash64 has no portable Python twin; the job
+        scans no table data), then the same LWW-resolve + tombstone
+        filter as ``read`` runs over the pruned file set."""
+        m = manifest or self.manifest()
+        key_col = m["key_col"]
+        key_field = next(
+            f for f in self.payload_schema(m).fields if f.name == key_col
+        )
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        )
+        buckets = sorted(
+            r["b"]
+            for r in kdf.select(
+                self.bucket_expr(F.col(key_col), m).alias("b")
+            ).distinct().collect()
+        )
+        stored = self.read_stored(spark, buckets=buckets, manifest=m).where(
+            F.col(key_col).isin(list(keys))
+        )
+        if m.get("one_row_per_key", False):
+            resolved = stored
+        else:
+            resolved = lww_resolve(stored, key_col)
+        return resolved.where(~F.col("_deleted")).drop(*META_NAMES)
+
     # ------------------------------------------------------------ writers
     def stage_write(
         self,

@@ -339,3 +339,37 @@ def test_bootstrap_rejects_missing_key(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], "not_key int")
     with _pytest.raises(ValueError, match="key column"):
         bootstrap_from_snapshot(spark, t, bad, watermark_seq=1)
+
+
+def test_read_keys_point_lookup_prunes_buckets(spark, tmp_path):
+    """read_keys must return exactly the requested live keys AND open
+    only the files of those keys' buckets — never the whole table."""
+    t = mk_table(tmp_path, "pt", n_buckets=16)
+    events = mk_events(spark, [
+        ev("insert", f"d{i}", 1, [i]) for i in range(40)
+    ] + [ev("delete", "d7", 2, None)])
+    apply_changes(spark, t, events)
+
+    out = t.read_keys(spark, ["d3", "d7", "d11"])
+    got = {r["doc_id"]: list(r["tokens"]) for r in out.collect()}
+    assert got == {"d3": [3], "d11": [11]}         # d7 tombstoned
+
+    total_files = len(t.data_files())
+    touched = set(out.inputFiles())
+    assert 0 < len(touched) < total_files, (len(touched), total_files)
+    # every opened file belongs to one of the requested keys' buckets
+    from pyspark.sql import functions as F2
+
+    want = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [("d3",), ("d7",), ("d11",)], "doc_id string"
+        ).select(t.bucket_expr(F2.col("doc_id")).alias("b")).collect()
+    }
+    # structural check: the pruned file list equals data_files(buckets=want)
+    import os as _os
+
+    expect_files = {
+        _os.path.realpath(p) for p in t.data_files(buckets=sorted(want))
+    }
+    assert {_os.path.realpath(p.replace("file:", "")) for p in touched} <= expect_files
