@@ -5,7 +5,7 @@ The driver gates correctness at sf0.01 only; this proves the parity pairs
 are scale-independent (no thresholds or dims tuned to one sf).
 
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
-Round-2 record: all 43 queries match at sf0.001, sf0.01 AND sf0.1.
+Round-4 record: all 63 queries match at sf0.001, sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations
