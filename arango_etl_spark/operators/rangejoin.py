@@ -38,6 +38,7 @@ def range_join(
     end_col: str = "end_ts",
     bin_seconds: int = 3600,
     how: str = "inner",
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each fact row to every interval containing its timestamp
     (``start <= ts < end``). Returns facts' columns + intervals' columns.
@@ -45,21 +46,41 @@ def range_join(
     ``how`` is ``inner`` or ``left`` (left keeps unmatched facts with
     null interval columns — implemented as the binned inner join plus a
     broadcast-pruned anti side, so the nested-loop trap is avoided in
-    both modes)."""
+    both modes).
+
+    ``max_bins_per_interval`` guards the explode: one pathological
+    interval (say a year-wide catch-all against 1-second bins) would
+    silently fan out into millions of rows. The job FAILS FAST with a
+    tune-the-bin-width message instead — raise the limit deliberately
+    if the fan-out is intended."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
     binw = F.lit(int(bin_seconds) * 1000)  # millis: sub-second-safe
     f_binned = facts.withColumn(
         "_bin", F.floor(F.unix_millis(F.col(ts_col)) / binw)
     )
+    lo_bin = F.floor(F.unix_millis(F.col(start_col)) / binw)
+    # end is EXCLUSIVE: an interval ending exactly on a bin boundary
+    # must not register in the bin that starts there
+    hi_bin = F.floor((F.unix_millis(F.col(end_col)) - 1) / binw)
     i_binned = intervals.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_millis(F.col(start_col)) / binw),
-                # end is EXCLUSIVE: an interval ending exactly on a bin
-                # boundary must not register in the bin that starts there
-                F.floor((F.unix_millis(F.col(end_col)) - 1) / binw),
+            F.when(
+                hi_bin - lo_bin < F.lit(int(max_bins_per_interval)),
+                F.sequence(lo_bin, hi_bin),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "range_join: an interval spans more than "
+                            f"{max_bins_per_interval} bins of "
+                            f"{bin_seconds}s — widen bin_seconds (or "
+                            "raise max_bins_per_interval) to match the "
+                            "interval scale"
+                        )
+                    )
+                )
             )
         ),
     )

@@ -178,3 +178,23 @@ def test_range_join_rejects_unknown_how(spark):
     facts, ivs = _rj_frames(spark)
     with pytest.raises(ValueError, match="inner/left"):
         range_join(facts, ivs, how="full")
+
+
+def test_range_join_bin_blowup_guard(spark):
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(1, ts(100))], "event_id long, ts timestamp"
+    )
+    wide = spark.createDataFrame(
+        [("y", ts(0), ts(366 * 24 * 3600))],   # a year-wide interval
+        "iv string, start_ts timestamp, end_ts timestamp",
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="widen bin_seconds"):
+        range_join(facts, wide, bin_seconds=1,
+                   max_bins_per_interval=10_000).collect()
+    # same interval passes with a deliberate higher cap / coarser bins
+    ok = range_join(facts, wide, bin_seconds=24 * 3600).collect()
+    assert [(r["event_id"], r["iv"]) for r in ok] == [(1, "y")]
