@@ -1918,6 +1918,55 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# session_window_stats — Spark's NATIVE session_window operator (dynamic
+# gap-merged event-time sessions; the streaming-capable form of the
+# gaps-and-islands sessionize query). Session end = last event + gap;
+# two windows merge iff the later start < earlier start + gap, i.e. a
+# NEW session begins exactly when the gap from the previous event is
+# >= 30 min — which is what the DuckDB islands CTE mirrors.
+# --------------------------------------------------------------------------
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
+@_register("session_window_stats", _SESSION_WINDOW_SQL)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q18_large_volume_customers — TPC-H Q18 shape: the HAVING subquery is a
 # broadcast semi-join of the large-order keys (one partial-aggregating
 # pass over lineitem produces the key set; the fact re-scan joins it),
