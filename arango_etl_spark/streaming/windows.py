@@ -38,3 +38,34 @@ def windowed_ingest_metrics(
             "op", "n_events", "approx_docs", "max_seq_no", "total_tokens",
         )
     )
+
+
+def session_metrics(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time SESSIONS via Spark's native session_window (dynamic
+    gap-merge). Works on batch and streaming frames; streaming requires
+    the watermark (session state is unbounded otherwise) and — in append
+    mode — emits a session only once it is CLOSED (watermark passed its
+    end), which is exactly the semantics a sessionization consumer
+    wants. The batch form is oracle-checked (parity
+    session_window_stats); this is its ingest-time twin."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

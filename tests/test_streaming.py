@@ -318,3 +318,61 @@ def test_curate_stream_quality_and_dedup(spark, tmp_path):
     # deterministic batch winner (ADVICE r3): FIRST arrival by
     # (ingest_ts, doc_id), not an arbitrary dropDuplicates survivor
     assert {r["doc_id"] for r in bgot} == {1, 3}
+
+
+def test_streaming_session_windows_emit_closed_sessions(spark, tmp_path):
+    """session_metrics on a stream: gap-merged sessions per user, emitted
+    in append mode once the watermark closes them; the batch form over
+    the same feed agrees on every emitted session."""
+    import datetime as dt
+
+    from arango_etl_spark.streaming.windows import session_metrics
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    feed = str(tmp_path / "sfeed")
+    schema = "user_id long, ts timestamp"
+    # user 1: two events 10 min apart (one session), then one 2h later
+    # (second session); user 2: single event
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=10)),
+         (2, t0 + dt.timedelta(minutes=5))], schema,
+    ).coalesce(1).write.parquet(f"{feed}/f0")
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=2)),
+         # far-future row pushes the watermark past every prior session
+         (9, t0 + dt.timedelta(days=2))], schema,
+    ).coalesce(1).write.parquet(f"{feed}/f1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = (
+        session_metrics(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "ssink"))
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "ssink")).collect()
+    }
+    # every emitted session matches the batch twin over the same files
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_metrics(
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(feed)
+        ).collect()
+    }
+    assert got <= batch and len(got) >= 3
+    # the merged first session of user 1: 2 events, end = last + gap
+    assert (1, t0, t0 + dt.timedelta(minutes=40), 2) in got
+    assert (2, t0 + dt.timedelta(minutes=5),
+            t0 + dt.timedelta(minutes=35), 1) in got
