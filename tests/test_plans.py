@@ -96,6 +96,26 @@ def test_q5_broadcasts_dims_and_pushes_filters(spark):
     assert "partial_sum" in plan, plan[:2000]
 
 
+def test_q18_semi_join_and_partial_agg(spark):
+    """Q18's HAVING key set must reach the fact scan as a broadcast
+    LEFT-SEMI hash join (never a shuffled subquery join), with the
+    order-quantity aggregate partial map-side."""
+    df = parity.q18_large_volume_customers(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan[:3000]
+    assert "partial_sum" in plan, plan[:2000]
+
+
+def test_range_join_is_hash_equi_join_not_nested_loop(spark):
+    """The binned range join must plan as a hash equi-join on the bin
+    key — the whole point is avoiding BroadcastNestedLoopJoin, which is
+    what a bare inequality-only join condition degenerates to."""
+    df = parity.range_join_windows(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "HashJoin" in plan, plan[:3000]
+
+
 def test_jaccard_single_tokenization_pass(spark):
     """jaccard_ngram_pairs must evaluate the shingle pipeline ONCE: the
     per-doc size branch and the pair branch share one _bucket_groups
