@@ -446,3 +446,43 @@ def bootstrap_from_snapshot(
         spark, table, events, batch_id=batch_id,
         fence_stream_id=fence_stream_id, **apply_kwargs,
     )
+
+
+def rebucket(
+    spark: SparkSession, table: SnapshotTable, new_n_buckets: int
+) -> dict:
+    """Bucket-layout evolution (the engine's analogue of Iceberg's
+    partition-spec evolution): rewrite the whole table into
+    ``new_n_buckets`` hash buckets and swap the layout + files in ONE
+    atomic commit. A table sized for last year's volume outgrows its
+    bucket count — per-bucket files get fat, write parallelism caps at
+    n_buckets, hot buckets amplify — and the fix must not stop ingest.
+
+    Like compaction this is a full-rewrite maintenance job run OFF the
+    ingest path; the commit CAS-es against the snapshot it read
+    (expected_version), so a concurrent ingest commit wins and the
+    rebucket retries rather than clobbering it. Readers before the swap
+    see the old layout, readers after see the new — bucket_expr always
+    derives from the CURRENT manifest, so merges and point lookups
+    follow automatically. Fences/summary carry over with the manifest.
+    """
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    manifest = table.manifest()
+    key_col = manifest["key_col"]
+    stored = table.read_stored(spark, manifest=manifest)
+    resolved = lww_resolve(stored, key_col).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(new_n_buckets)).cast("int"),
+    )
+    _, files = table.stage_write(resolved)
+    return table.commit(
+        new_files=files,
+        replaced_buckets=None,
+        summary={"rebucket_from": manifest["n_buckets"],
+                 "rebucket_to": new_n_buckets},
+        mode="compact",
+        one_row_per_key=True,
+        expected_version=manifest["version"],
+        new_n_buckets=new_n_buckets,
+    )

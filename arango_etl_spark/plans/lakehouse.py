@@ -273,6 +273,7 @@ class SnapshotTable:
         mode: str = "merge",
         one_row_per_key: bool | None = None,
         expected_version: int | None = None,
+        new_n_buckets: int | None = None,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -280,7 +281,16 @@ class SnapshotTable:
         otherwise buckets in the set take new_files, the rest carry over
         (CoW) — and for MoR appends, replaced_buckets=set() carries all
         old files over and appends the new ones.
+
+        ``new_n_buckets`` records a bucket-layout change (rebucket jobs
+        only — the new_files must already be laid out under the new
+        scheme, so it is only legal with a full replace).
         """
+        if new_n_buckets is not None and replaced_buckets is not None:
+            raise ValueError(
+                "bucket-layout change requires a full replace "
+                "(replaced_buckets=None)"
+            )
         cur_v = self.current_version()
         if expected_version is not None and cur_v != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur_v}")
@@ -298,7 +308,10 @@ class SnapshotTable:
             "version": cur_v + 1,
             "parent": cur_v,
             "key_col": parent["key_col"],
-            "n_buckets": parent["n_buckets"],
+            "n_buckets": (
+                new_n_buckets if new_n_buckets is not None
+                else parent["n_buckets"]
+            ),
             "schema": (
                 json.loads(new_payload_schema.json())
                 if new_payload_schema is not None

@@ -167,3 +167,37 @@ def test_expire_snapshots_twice_with_shrinking_keep(spark, tmp_path):
     out = t.expire_snapshots(keep_last=4)  # window reaches expired versions
     assert "expired_versions" in out
     assert t.read(spark).count() > 0
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """rebucket rewrites the table into a new hash layout atomically:
+    same public state, updated n_buckets, and SUBSEQUENT merges and
+    point lookups follow the new layout (bucket_expr reads the current
+    manifest)."""
+    from arango_etl_spark.operators.merge_into import (
+        apply_changes,
+        rebucket,
+    )
+    from tests.test_merge import ev, mk_events, mk_table
+
+    t = mk_table(tmp_path, "rb", n_buckets=4)
+    apply_changes(spark, t, mk_events(spark, [
+        ev("insert", f"d{i}", 1, [i]) for i in range(30)
+    ] + [ev("delete", "d5", 2, None)]), batch_id=0, fence_stream_id="cdc")
+    before = {r["doc_id"]: list(r["tokens"]) for r in t.read(spark).collect()}
+
+    m = rebucket(spark, t, new_n_buckets=16)
+    assert m["n_buckets"] == 16
+    assert t.manifest()["n_buckets"] == 16
+    after = {r["doc_id"]: list(r["tokens"]) for r in t.read(spark).collect()}
+    assert after == before
+    # fence survived the layout swap
+    assert t.last_batch_id("cdc") == 0
+    # post-rebucket merge + point lookup work against the new layout
+    apply_changes(spark, t, mk_events(spark, [ev("update", "d3", 9, [99])]),
+                  batch_id=1, fence_stream_id="cdc")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in t.read_keys(spark, ["d3", "d5"]).collect()}
+    assert got == {"d3": [99]}
+    # data files are spread over more buckets than before
+    assert len(t.manifest()["files"]) > 4
