@@ -51,6 +51,25 @@ def _table(args) -> SnapshotTable:
     return SnapshotTable.create(args.table, payload, n_buckets=args.buckets)
 
 
+def cmd_maintain(spark, args) -> None:
+    """Off-ingest-path table maintenance: MoR compaction, snapshot
+    expiry, bucket-layout evolution — each an atomic commit; run them
+    from a separate process while `current` keeps ingesting (the CAS
+    retries loser commits)."""
+    from arango_etl_spark.operators.merge_into import compact, rebucket
+
+    table = _table(args)
+    if args.rebucket is not None:
+        m = rebucket(spark, table, new_n_buckets=args.rebucket)
+        print(f"rebucketed to {m['n_buckets']} buckets (v{m['version']})")
+    if args.do_compact:
+        m = compact(spark, table)
+        print(f"compacted (v{m['version']})")
+    if args.expire_keep is not None:
+        table.expire_snapshots(keep_last=args.expire_keep)
+        print(f"expired snapshots, kept last {args.expire_keep}")
+
+
 def cmd_history(spark, args) -> None:
     """Bounded replay: all events with after <= seq_no < before, applied as
     one batch per batch_id (out-of-order within, ordered by the LWW rule).
@@ -301,6 +320,15 @@ def main() -> None:
                         "seq_no <= this are dropped from the tail "
                         "(required with --bootstrap-snapshot)")
 
+    mnt = sub.add_parser("maintain",
+                         help="off-path table maintenance (atomic commits)")
+    mnt.add_argument("--compact", dest="do_compact", action="store_true",
+                     help="fold MoR delta files to one row per key")
+    mnt.add_argument("--expire-keep", type=int, default=None,
+                     help="expire snapshots, keeping the last N versions")
+    mnt.add_argument("--rebucket", type=int, default=None,
+                     help="rewrite into N hash buckets (layout evolution)")
+
     # TOML/env settings become parser-level defaults: they pre-populate the
     # namespace, so subparser defaults don't clobber them while explicit
     # CLI flags still win (argparse only applies a default when the
@@ -314,7 +342,8 @@ def main() -> None:
     spark = get_spark("arango_etl_spark", cores=args.cores)
     try:
         {"history": cmd_history, "rehydrate": cmd_rehydrate,
-         "current": cmd_current}[args.cmd](spark, args)
+         "current": cmd_current, "maintain": cmd_maintain}[args.cmd](
+            spark, args)
     finally:
         spark.stop()
 

@@ -238,3 +238,21 @@ def test_cli_bootstrap_then_tail(spark, tmp_path):
         for r in SnapshotTable(table_dir).read(spark).collect()
     }
     assert got2 == got
+
+
+def test_cli_maintain_compact_expire_rebucket(spark, events_dir, tmp_path):
+    table_dir = str(tmp_path / "tab")
+    run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
+            "history", "--after", "0")
+    before = SnapshotTable(table_dir).read(spark).toPandas()
+    run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
+            "maintain", "--rebucket", "32", "--compact",
+            "--expire-keep", "2")
+    t = SnapshotTable(table_dir)
+    assert t.manifest()["n_buckets"] == 32
+    assert_states_equal(t.read(spark).toPandas(), before)
+    import os as _os
+
+    manifests = [f for f in _os.listdir(t.meta_dir)
+                 if f.startswith("v") and f.endswith(".json")]
+    assert len(manifests) <= 2
