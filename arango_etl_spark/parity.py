@@ -2061,6 +2061,54 @@ def truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bigram_counts — n-gram LM count table over the token streams (the
+# count-aggregation step of classic LM smoothing pipelines): explode
+# each sequence's adjacent token pairs map-side, partial-aggregate the
+# counts, distributed top-50. Exact integers.
+# --------------------------------------------------------------------------
+_BIGRAM_SQL = f"""
+WITH d AS (
+    SELECT doc_id, {tokens_sql("doc_id", "doc_id")} AS tokens FROM documents
+), b AS (
+    SELECT tokens[i] AS t1, tokens[i + 1] AS t2
+    FROM d CROSS JOIN generate_series(1, 64) g(i)
+    WHERE i <= len(tokens) - 1
+)
+SELECT CAST(t1 AS INTEGER) AS t1, CAST(t2 AS INTEGER) AS t2,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY t1, t2
+ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 50
+"""
+
+
+@_register("bigram_counts", _BIGRAM_SQL)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import tokens_expr
+
+    toks = tokens_expr(F.col("doc_id"), F.col("doc_id"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("t1"),
+            F.element_at(toks, i + 1).alias("t2"),
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.explode(pairs).alias("_p")
+    ).where(F.col("_p.t2").isNotNull())
+    return (
+        d.groupBy(
+            F.col("_p.t1").alias("t1"), F.col("_p.t2").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # 41f. split_assignment — deterministic train/val/test assignment by
 # portable-hash permille bucket (operators/packing.assign_splits):
 # membership is a pure function of the doc id, so eval sets survive
