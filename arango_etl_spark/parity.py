@@ -2061,6 +2061,32 @@ def truncate_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# value_histogram — fixed-width histogram of the event value per type
+# (the profiling companion to length_quantiles): floor-binning is pure
+# arithmetic, the count is a partial-aggregating groupBy — the whole
+# query is one shuffle of (type, bin) partial counts at any scale.
+# --------------------------------------------------------------------------
+_VALUE_HIST_SQL = """
+SELECT event_type,
+       CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bin
+"""
+
+
+@_register("value_histogram", _VALUE_HIST_SQL)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
 # bigram_counts — n-gram LM count table over the token streams (the
 # count-aggregation step of classic LM smoothing pipelines): explode
 # each sequence's adjacent token pairs map-side, partial-aggregate the
