@@ -68,6 +68,10 @@ def cmd_maintain(spark, args) -> None:
     if args.expire_keep is not None:
         table.expire_snapshots(keep_last=args.expire_keep)
         print(f"expired snapshots, kept last {args.expire_keep}")
+    if args.orphan_grace is not None:
+        r = table.remove_orphan_files(older_than_secs=args.orphan_grace)
+        print(f"removed {r['removed_files']} orphan files "
+              f"({r['removed_dirs']} dirs)")
 
 
 def cmd_history(spark, args) -> None:
@@ -328,6 +332,10 @@ def main() -> None:
                      help="expire snapshots, keeping the last N versions")
     mnt.add_argument("--rebucket", type=int, default=None,
                      help="rewrite into N hash buckets (layout evolution)")
+    mnt.add_argument("--remove-orphans", dest="orphan_grace", type=int,
+                     default=None, metavar="GRACE_SECS",
+                     help="delete staged-but-never-committed commit dirs "
+                          "older than GRACE_SECS (crash debris GC)")
 
     # TOML/env settings become parser-level defaults: they pre-populate the
     # namespace, so subparser defaults don't clobber them while explicit

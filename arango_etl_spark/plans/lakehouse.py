@@ -392,6 +392,69 @@ class SnapshotTable:
             "removed_files": removed_files,
         }
 
+    def remove_orphan_files(self, older_than_secs: int = 3600) -> dict:
+        """Iceberg `remove_orphan_files` analogue: a crash between
+        ``stage_write`` and ``commit`` leaves a ``data/commit-*`` dir
+        that NO manifest ever references — invisible to readers and to
+        ``expire_snapshots`` (which only walks expired manifests), a
+        pure storage leak that compounds on a long-running stream.
+        Deletes data files referenced by no surviving manifest whose
+        mtime is older than the grace window, so an IN-FLIGHT
+        stage_write racing this GC is never touched (same grace
+        contract as Iceberg's `older_than`). Empty commit dirs are
+        pruned afterwards. Run off the ingest path."""
+        import time as _time
+
+        referenced: set[str] = set()
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                m = self.manifest(int(f[1:-5]))
+                for fs in m["files"].values():
+                    referenced.update(fs)
+        cutoff = _time.time() - older_than_secs
+        data_root = os.path.join(self.root, "data")
+        removed = removed_dirs = 0
+        # granularity = whole commit dir: a LIVE commit dir also holds
+        # unreferenced sidecars (_SUCCESS, .crc) that must not be GC'd,
+        # and the actual failure mode is an entire staged-but-uncommitted
+        # dir — so a dir is orphan iff NONE of its files is referenced
+        # and nothing in it is younger than the grace window.
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                dpath = os.path.join(data_root, d)
+                if not os.path.isdir(dpath):
+                    continue
+                live = young = False
+                members = []
+                for dirpath, _dirs, files in os.walk(dpath):
+                    for fn in files:
+                        p = os.path.join(dirpath, fn)
+                        members.append(p)
+                        if os.path.relpath(p, self.root) in referenced:
+                            live = True
+                        try:
+                            if os.path.getmtime(p) >= cutoff:
+                                young = True
+                        except FileNotFoundError:
+                            pass
+                if live or young:
+                    continue
+                for p in members:
+                    try:
+                        os.unlink(p)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+                for dirpath, _dirs, _files in list(
+                    os.walk(dpath, topdown=False)
+                ):
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+                removed_dirs += 1
+        return {"removed_files": removed, "removed_dirs": removed_dirs}
+
 
 def lww_resolve(stored: DataFrame, key_col: str) -> DataFrame:
     """Reduce stored rows to one winning row per key under the canonical

@@ -247,7 +247,7 @@ def test_cli_maintain_compact_expire_rebucket(spark, events_dir, tmp_path):
     before = SnapshotTable(table_dir).read(spark).toPandas()
     run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
             "maintain", "--rebucket", "32", "--compact",
-            "--expire-keep", "2")
+            "--expire-keep", "2", "--remove-orphans", "3600")
     t = SnapshotTable(table_dir)
     assert t.manifest()["n_buckets"] == 32
     assert_states_equal(t.read(spark).toPandas(), before)

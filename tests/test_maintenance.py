@@ -201,3 +201,51 @@ def test_rebucket_layout_evolution(spark, tmp_path):
     assert got == {"d3": [99]}
     # data files are spread over more buckets than before
     assert len(t.manifest()["files"]) > 4
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """A crash between stage_write and commit leaves a commit dir no
+    manifest references: remove_orphan_files deletes it once past the
+    grace window, never touches live commits (incl. their unreferenced
+    _SUCCESS/.crc sidecars) and never touches fresh staged dirs."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from arango_etl_spark.operators.merge_into import apply_changes
+    from tests.test_merge import ev, mk_events, mk_table
+
+    t = mk_table(tmp_path, "orph", n_buckets=4)
+    apply_changes(spark, t, mk_events(spark, [ev("insert", "a", 1, [1])]))
+
+    # simulate the crash: stage a write that is never committed
+    staged = mk_events(spark, [ev("insert", "zz", 9, [9])]).select(
+        "*"
+    ).withColumn("_bucket", t.bucket_expr(F.col("doc_id")))
+    stored = staged.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("seq_no").alias("_seq_no"), F.col("event_ts").alias("_event_ts"),
+        F.col("batch_id").alias("_batch_id"), F.col("op").alias("_op"),
+        F.lit(False).alias("_deleted"),
+    ).withColumn("_bucket", t.bucket_expr(F.col("doc_id")))
+    rel, _files = t.stage_write(stored)
+    orphan_dir = os.path.join(t.root, rel)
+    assert os.path.isdir(orphan_dir)
+
+    # fresh orphan: protected by the grace window
+    r = t.remove_orphan_files(older_than_secs=3600)
+    assert r["removed_dirs"] == 0 and os.path.isdir(orphan_dir)
+
+    # age everything, then GC: orphan dir goes, live data stays readable
+    for dirpath, _dirs, files in os.walk(os.path.join(t.root, "data")):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            os.utime(p, (time.time() - 7200, time.time() - 7200))
+    r = t.remove_orphan_files(older_than_secs=3600)
+    assert r["removed_dirs"] == 1 and r["removed_files"] >= 1
+    assert not os.path.exists(orphan_dir)
+    got = {x["doc_id"]: list(x["tokens"]) for x in t.read(spark).collect()}
+    assert got == {"a": [1]}
+    # idempotent second pass
+    assert t.remove_orphan_files(older_than_secs=3600)["removed_dirs"] == 0
