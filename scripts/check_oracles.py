@@ -5,7 +5,9 @@ The driver gates correctness at sf0.01 only; this proves the parity pairs
 are scale-independent (no thresholds or dims tuned to one sf).
 
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
-Round-4 record: all 63 queries match at sf0.001, sf0.01 AND sf0.1.
+The registered-query count is printed per run (it tracks parity.py —
+do not hardcode it here). Round-4 record: all 66 queries matched at
+sf0.001, sf0.01 AND sf0.1; round-5 record below is refreshed by CI runs.
 """
 
 from __future__ import annotations

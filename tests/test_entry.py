@@ -47,6 +47,31 @@ def _norm_rows(cols, rows):
     )
 
 
+def test_gate_order_covers_every_family_in_first_50():
+    """The driver's correctness gate evaluates exactly the first 50
+    queries() entries; pin the curated order so every operator family has
+    a driver-green row (VERDICT r4 item #1). Twins past 50 stay covered
+    by this module's full parametrized sweep and check_oracles.py."""
+    from arango_etl_spark.parity import _GATE_ORDER
+
+    names = list(entry_mod.queries())
+    assert len(_GATE_ORDER) == 50
+    assert names[:50] == _GATE_ORDER
+    # every family representative the r4 verdict called out as driver-unseen
+    must_be_gated = {
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q10_returned_items", "q18_large_volume_customers",
+        "scd2_history", "snapshot_diff_states", "session_window_stats",
+        "vocab_topk", "value_histogram", "bigram_counts", "truncate_pad",
+        "split_assignment", "length_quantiles", "redact_pii_docs",
+        "contamination_check", "curated_training_set",
+    }
+    assert must_be_gated <= set(names[:50])
+    # oracle_sql() must follow the same order for the driver's zip-compare
+    o_names = [n for n in entry_mod.oracle_sql() if n in set(names[:50])]
+    assert o_names == [n for n in _GATE_ORDER if n in entry_mod.oracle_sql()]
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
