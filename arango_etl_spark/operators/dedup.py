@@ -45,11 +45,22 @@ def _spread(docs: DataFrame) -> DataFrame:
     """Small dimension tables often arrive as one parquet file → one task.
     Spread to cluster parallelism before the CPU-heavy shingle/hash work
     (cost: one tiny round-robin shuffle; win: full-width codegen stages).
-    Unconditional — probing the current partition count needs df.rdd,
-    which builds the whole RDD-conversion plan just to read one number
-    (round-3 VERDICT #6); a fixed repartition of a dimension input is
-    cheaper than the probe and AQE coalesces it if the input is tiny."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+    Gated on cheap FILE-LISTING metadata, not df.rdd (which builds the
+    whole RDD-conversion plan just to read one number, round-3 VERDICT
+    #6): a scan already backed by >= defaultParallelism files keeps its
+    natural partitioning — repartitioning a 100 TB corpus round-robin
+    would be a full-input shuffle capped AT defaultParallelism, i.e. a
+    scale regression (ADVICE r4 #1). In-memory frames (no input files)
+    keep the old repartition: they are tiny test/dimension inputs."""
+    sc = docs.sparkSession.sparkContext
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # non-file-backed plans (streams, pure ranges)
+        n_files = 0
+    if n_files >= sc.defaultParallelism:
+        return docs
+    return docs.repartition(sc.defaultParallelism)
 
 
 def shingles(
@@ -444,6 +455,7 @@ def near_dup_clusters(
     ngram: int = 3,
     max_iters: int = 20,
     reliable_checkpoint_dir: str | None = None,
+    cleanup_checkpoints: bool = True,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     candidate graph, labeled by the component's minimum doc id. Returns
@@ -468,15 +480,35 @@ def near_dup_clusters(
     reliable ``checkpoint()`` — blocks land on shared storage and the
     job survives executor loss.
 
+    Checkpoint lifecycle (ADVICE r4 #3): Spark never deletes reliable
+    checkpoint files itself, and ``setCheckpointDir`` is
+    SparkContext-global. So reliable mode (a) checkpoints into a UNIQUE
+    per-call subdirectory, (b) restores the previously-configured
+    checkpoint dir before returning, and (c) with
+    ``cleanup_checkpoints=True`` (default) pulls the converged labels
+    through an eager ``localCheckpoint`` and deletes the whole
+    subdirectory — iteration (the expensive, executor-loss-exposed
+    part) stays reliable; only the small final label frame is
+    executor-local. Pass ``cleanup_checkpoints=False`` to keep the
+    returned frame backed by shared storage; the caller then owns
+    deleting the per-call subdirectory.
+
     Deterministic fixpoint: min-label is order-free, so the result equals
     the transitive closure's per-node minimum — which is exactly what the
     DuckDB oracle computes with a recursive CTE (parity.neardup_clusters).
     Raises if max_iters rounds don't converge (pathological chain graphs).
     """
+    sc = docs.sparkSession.sparkContext
+    call_dir = prev_dir = None
     if reliable_checkpoint_dir is not None:
-        docs.sparkSession.sparkContext.setCheckpointDir(
-            reliable_checkpoint_dir
+        import uuid
+
+        jprev = sc._jsc.sc().getCheckpointDir()
+        prev_dir = jprev.get() if jprev.isDefined() else None
+        call_dir = (
+            f"{reliable_checkpoint_dir.rstrip('/')}/ndc-{uuid.uuid4().hex}"
         )
+        sc.setCheckpointDir(call_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()
@@ -485,47 +517,76 @@ def near_dup_clusters(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    pairs = minhash_lsh_pairs(
-        docs, text_col, id_col, n_hashes, n_bands, ngram
-    ).select("doc_a", "doc_b")
-    edges = _ckpt(pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ))  # materialize the signature pipeline ONCE
+    converged = False
+    try:
+        pairs = minhash_lsh_pairs(
+            docs, text_col, id_col, n_hashes, n_bands, ngram
+        ).select("doc_a", "doc_b")
+        edges = _ckpt(pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ))  # materialize the signature pipeline ONCE
 
-    labels = _ckpt(
-        docs.select(F.col(id_col))
-        .distinct()
-        .withColumn("cluster_id", F.col(id_col))
-    )
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["doc_b"] == labels[id_col])
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("_nmin"))
+        labels = _ckpt(
+            docs.select(F.col(id_col))
+            .distinct()
+            .withColumn("cluster_id", F.col(id_col))
         )
-        new = _ckpt(
-            labels.join(neigh, labels[id_col] == neigh["doc_a"], "left")
-            .select(
-                labels[id_col],
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges["doc_b"] == labels[id_col])
+                .groupBy("doc_a")
+                .agg(F.min("cluster_id").alias("_nmin"))
             )
+            new = _ckpt(
+                labels.join(neigh, labels[id_col] == neigh["doc_a"], "left")
+                .select(
+                    labels[id_col],
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), id_col)
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        if call_dir is not None:
+            # restore the SparkContext-global checkpoint dir: the
+            # previous one if any, else the caller's parent dir (a
+            # checkpoint dir cannot be unset once set, and leaving it
+            # pointed at a soon-deleted per-call subdir would break
+            # later checkpoint() users)
+            sc.setCheckpointDir(prev_dir or reliable_checkpoint_dir)
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} iterations"
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"near_dup_clusters did not converge in {max_iters} iterations"
-    )
+    if call_dir is not None and cleanup_checkpoints:
+        labels = labels.localCheckpoint(eager=True)
+        _rmtree_checkpoint_dir(call_dir)
+    return labels
+
+
+def _rmtree_checkpoint_dir(path: str) -> None:
+    """Best-effort removal of a per-call reliable-checkpoint subdir.
+    Local filesystem paths only — on HDFS/object-store URIs (scheme
+    prefix present) deletion is left to the caller's storage tooling,
+    matching the lakehouse GC's documented delegation."""
+    import shutil
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        return
+    shutil.rmtree(local, ignore_errors=True)
 
 
 def near_dup_representatives(

@@ -44,9 +44,17 @@ def range_join(
     (``start <= ts < end``). Returns facts' columns + intervals' columns.
 
     ``how`` is ``inner`` or ``left`` (left keeps unmatched facts with
-    null interval columns — implemented as the binned inner join plus a
-    broadcast-pruned anti side, so the nested-loop trap is avoided in
-    both modes).
+    null interval columns). Both modes are ONE binned equi-join — left
+    puts the containment predicate into the join condition of a
+    left_outer join on the bin key, so Catalyst still extracts the
+    equi-key (hash/sort-merge, never nested-loop) and the fact side is
+    scanned exactly once (the round-4 dual-pass is gone: at 100 TB the
+    fact side is the big one, and scanning + bin-hashing it twice
+    doubled the dominant cost).
+
+    Inverted intervals (``end <= start``) are EMPTY under half-open
+    semantics: they register in zero bins (and so match nothing) rather
+    than tripping ``sequence``'s step -1 descending fan-out.
 
     ``max_bins_per_interval`` guards the explode: one pathological
     interval (say a year-wide catch-all against 1-second bins) would
@@ -63,47 +71,49 @@ def range_join(
     # end is EXCLUSIVE: an interval ending exactly on a bin boundary
     # must not register in the bin that starts there
     hi_bin = F.floor((F.unix_millis(F.col(end_col)) - 1) / binw)
-    i_binned = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.when(
-                hi_bin - lo_bin < F.lit(int(max_bins_per_interval)),
-                F.sequence(lo_bin, hi_bin),
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "range_join: an interval spans more than "
-                            f"{max_bins_per_interval} bins of "
-                            f"{bin_seconds}s — widen bin_seconds (or "
-                            "raise max_bins_per_interval) to match the "
-                            "interval scale"
-                        )
+    # guard order matters: the inverted-interval arm must come FIRST —
+    # hi_bin < lo_bin makes (hi_bin - lo_bin) negative, which would pass
+    # the fan-out guard and sequence(lo, hi) would infer step -1,
+    # silently exploding a year-wide swapped pair into ~|lo-hi| rows
+    # (ADVICE r4 #2). Empty interval → empty bin array → explode drops it.
+    bins = (
+        F.when(hi_bin < lo_bin, F.array().cast("array<bigint>"))
+        .when(
+            hi_bin - lo_bin < F.lit(int(max_bins_per_interval)),
+            F.sequence(lo_bin, hi_bin),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join: an interval spans more than "
+                        f"{max_bins_per_interval} bins of "
+                        f"{bin_seconds}s — widen bin_seconds (or "
+                        "raise max_bins_per_interval) to match the "
+                        "interval scale"
                     )
                 )
-            )
-        ),
-    )
-    matched = (
-        f_binned.join(i_binned, "_bin")
-        .where(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) < F.col(end_col))
+            ).cast("array<bigint>")
         )
-        .drop("_bin")
+    )
+    i_binned = intervals.withColumn("_bin", F.explode(bins))
+    containment = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
     )
     if how == "inner":
-        return matched
-    # left: unmatched facts = anti-join on the same binned candidates
-    unmatched = f_binned.join(
-        i_binned,
-        (f_binned["_bin"] == i_binned["_bin"])
-        & (F.col(ts_col) >= F.col(start_col))
-        & (F.col(ts_col) < F.col(end_col)),
-        "left_anti",
-    ).drop("_bin")
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(
-            dict(intervals.dtypes)[c]
-        ))
-    return matched.unionByName(unmatched)
+        return (
+            f_binned.join(i_binned, "_bin").where(containment).drop("_bin")
+        )
+    # left: ONE left_outer equi-join on the bin key with the containment
+    # predicate inside the join condition — Catalyst still extracts _bin
+    # as the equi-key (hash/sort-merge join), unmatched facts get their
+    # null interval row for free, and the fact side is scanned once.
+    i_renamed = i_binned.withColumnRenamed("_bin", "_ibin")
+    return (
+        f_binned.join(
+            i_renamed,
+            (F.col("_bin") == F.col("_ibin")) & containment,
+            "left",
+        )
+        .drop("_bin", "_ibin")
+    )

@@ -1882,6 +1882,47 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 41a-left. range_join_left — the left mode of the binned range join:
+# every event kept, null window for events outside any 02:00-04:00
+# maintenance window. Single-pass: ONE left_outer equi-join on the bin
+# key with containment in the join condition (the fact side is scanned
+# once — plan-asserted in test_plans.py).
+# --------------------------------------------------------------------------
+_RANGE_JOIN_LEFT_SQL = """
+WITH w AS (
+    SELECT DISTINCT
+           date_trunc('day', ts) + INTERVAL 2 HOUR AS start_ts,
+           date_trunc('day', ts) + INTERVAL 4 HOUR AS end_ts
+    FROM events
+)
+SELECT e.event_id, w.start_ts AS win_start
+FROM events e
+LEFT JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+"""
+
+
+@_register("range_join_left", _RANGE_JOIN_LEFT_SQL)
+def range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wins = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("_day"))
+        .distinct()
+        .select(
+            (F.col("_day") + F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+            (F.col("_day") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+        )
+    )
+    return range_join(
+        ev.select("event_id", "ts"), wins, ts_col="ts",
+        bin_seconds=3600, how="left",
+    ).select("event_id", F.col("start_ts").alias("win_start"))
+
+
+# --------------------------------------------------------------------------
 # 41b. vocab_topk — global token-vocabulary top-50 by frequency over the
 # synthesized token arrays: map-side explode + partial-aggregating count,
 # then a DISTRIBUTED global top-k (TakeOrderedAndProject — local k-row
@@ -1927,7 +1968,7 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _SESSION_WINDOW_SQL = """
 WITH flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                 THEN 1 ELSE 0 END AS new_s
@@ -1936,7 +1977,11 @@ WITH flagged AS (
 ), islands AS (
     SELECT user_id, ts,
            sum(new_s) OVER (
-               PARTITION BY user_id ORDER BY ts
+               -- event_id tie-break matches the flag window: on a
+               -- duplicate (user_id, ts) the running sum must see the
+               -- new_s=1 row first or simultaneous events split across
+               -- sessions (ADVICE r4 #4; ROWS frame keeps the sum exact)
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS sid
     FROM flagged

@@ -48,7 +48,12 @@ def curate_stream(
     exact dedup (the batch half catches duplicates farther apart than
     the watermark horizon). Batch survivors are the deterministic first
     arrival by (``ts_col``, ``id_col``) — one partial-aggregating
-    min_by shuffle, re-runs always keep the same rows.
+    min_by shuffle, re-runs always keep the same rows. Frames without
+    ``id_col`` fall back to ordering by ``ts_col`` alone (still far
+    more deterministic than dropDuplicates; exact ``ts_col`` ties then
+    keep an arbitrary-but-single row) — batch callers are not required
+    to carry a doc id (ADVICE r4 #5). Output appends ``content_hash``
+    as the LAST column.
     """
     lt = F.length(F.col(text_col))
     alpha = (
@@ -61,12 +66,15 @@ def curate_stream(
         return hashed.withWatermark(ts_col, watermark)\
             .dropDuplicatesWithinWatermark(["content_hash"])
     cols = [c for c in hashed.columns if c != "content_hash"]
+    order_cols = [F.col(ts_col)]
+    if id_col in cols:
+        order_cols.append(F.col(id_col))
     return (
         hashed.groupBy("content_hash")
         .agg(
             F.min_by(
                 F.struct(*[F.col(c) for c in cols]),
-                F.struct(F.col(ts_col), F.col(id_col)),
+                F.struct(*order_cols),
             ).alias("_w")
         )
         .select(*[F.col(f"_w.{c}").alias(c) for c in cols], "content_hash")

@@ -320,7 +320,9 @@ def test_near_dup_clusters_reliable_checkpoint(spark, docs, tmp_path):
     durable = {
         (r["doc_id"], r["cluster_id"])
         for r in dedup.near_dup_clusters(
-            base, reliable_checkpoint_dir=ckpt_dir
+            base,
+            reliable_checkpoint_dir=ckpt_dir,
+            cleanup_checkpoints=False,
         ).collect()
     }
     assert durable == local
@@ -330,6 +332,28 @@ def test_near_dup_clusters_reliable_checkpoint(spark, docs, tmp_path):
         f for root, _, files in os.walk(ckpt_dir) for f in files
     ]
     assert found, f"no checkpoint files written under {ckpt_dir}"
+
+
+def test_near_dup_clusters_reliable_checkpoint_cleanup(spark, docs, tmp_path):
+    """Default reliable mode must not leak checkpoint storage or global
+    state (ADVICE r4 #3): the per-call ndc-* subdir is deleted after
+    convergence, the result is still consumable, and the
+    SparkContext-wide checkpoint dir does not point into the deleted
+    subdir."""
+    import os
+
+    base = docs.limit(30).select("doc_id", "text")
+    ckpt_dir = str(tmp_path / "ckpt")
+    out = dedup.near_dup_clusters(base, reliable_checkpoint_dir=ckpt_dir)
+    assert out.count() == 30  # consumable after cleanup
+    leftover = [
+        d for d in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
+        if d.startswith("ndc-")
+    ]
+    assert leftover == [], f"leaked per-call checkpoint dirs: {leftover}"
+    jdir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    restored = jdir.get() if jdir.isDefined() else None
+    assert restored is not None and "ndc-" not in restored
 
 
 def test_embedding_near_dup_pairs(spark, emb):

@@ -116,6 +116,21 @@ def test_range_join_is_hash_equi_join_not_nested_loop(spark):
     assert "HashJoin" in plan, plan[:3000]
 
 
+def test_range_join_left_is_single_pass(spark):
+    """Left mode must be ONE left_outer equi-join on the bin key with
+    containment in the join condition — the round-4 shape (binned inner
+    + a second left_anti over the same frames) scanned and bin-hashed
+    the 100 TB fact side twice. Here events.parquet feeds both the fact
+    side and the derived-window side, so exactly TWO parquet scans may
+    appear; a dual-pass left would show three or more."""
+    df = parity.range_join_left(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "LeftOuter" in plan, plan[:3000]
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected 2 parquet scans, saw {n_scans}"
+
+
 def test_jaccard_single_tokenization_pass(spark):
     """jaccard_ngram_pairs must evaluate the shingle pipeline ONCE: the
     per-doc size branch and the pair branch share one _bucket_groups

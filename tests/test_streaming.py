@@ -319,6 +319,13 @@ def test_curate_stream_quality_and_dedup(spark, tmp_path):
     # (ingest_ts, doc_id), not an arbitrary dropDuplicates survivor
     assert {r["doc_id"] for r in bgot} == {1, 3}
 
+    # batch frames WITHOUT the id column still work: ordering falls
+    # back to ingest_ts alone (ADVICE r4 #5)
+    noid = curate_stream(batch.drop("doc_id")).collect()
+    assert len(noid) == 2
+    assert {r["content_hash"] for r in noid} == set(by_hash)
+    assert noid[0].__fields__[-1] == "content_hash"
+
 
 def test_streaming_session_windows_emit_closed_sessions(spark, tmp_path):
     """session_metrics on a stream: gap-merged sessions per user, emitted
