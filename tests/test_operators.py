@@ -179,6 +179,56 @@ def test_ivf_full_probe_equals_exact(spark, emb):
     )
 
 
+def test_ivf_refined_recall_floor(spark):
+    """r4 VERDICT #2: measure recall@10 vs brute force at sub-full probe
+    levels instead of only asserting subset containment. On clustered
+    synthetic embeddings (8 true clusters, 16 dims) Lloyd-refined
+    centroids must reach recall@10 >= 0.8 at n_probe=4/16 and never be
+    materially worse than the hash-seeded index at any probe level."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, dim, per = 8, 16, 50
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(n_clusters * per):
+        v = centers[vid % n_clusters] + 0.15 * rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [
+        (qi, [float(x) for x in centers[qi % n_clusters]
+              + 0.15 * rng.normal(size=dim)])
+        for qi in range(16)
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>"
+    )
+    exact: dict = {}
+    for r in similarity.cosine_topk(emb, qdf, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(index, n_probe):
+        got: dict = {}
+        rows = similarity.ivf_query(index, qdf, k=10, n_probe=n_probe)
+        for r in rows.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+        return hits / sum(len(e) for e in exact.values())
+
+    seeded = similarity.build_ivf_index(emb, n_centroids=16)
+    refined = similarity.build_ivf_index(
+        emb, n_centroids=16, refine_iters=3
+    )
+    report = {
+        n_probe: (recall(seeded, n_probe), recall(refined, n_probe))
+        for n_probe in (1, 2, 4)
+    }
+    print(f"IVF recall@10 (seeded, refined) by n_probe: {report}")
+    assert report[4][1] >= 0.8, report
+    assert all(ref >= seed - 0.05 for seed, ref in report.values()), report
+
+
 # --------------------------------------------------------------------- text
 def test_language_id(spark):
     rows = [
