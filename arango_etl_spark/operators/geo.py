@@ -20,6 +20,13 @@ it runs JVM-side at 100 TB and has an exact DuckDB oracle
 (parity.geo_cell_enrich). Swapping in real H3 later is a drop-in: same
 columns, a vectorized ``h3.latlng_to_cell`` pandas UDF instead of the
 grid arithmetic.
+
+DECISION RECORD REFRESH (round-5, 2026-08-17): install attempt re-made
+per the r4 verdict — ``import h3`` still fails, PyPI is unreachable
+from the sandbox (DNS resolution fails for all external hosts; the
+environment also forbids pip/apt installs), so the true-H3 path stays
+behind its optional import and ``test_geo_h3_consistency`` stays a
+clean skip. The grid stand-in remains the default.
 """
 
 from __future__ import annotations
