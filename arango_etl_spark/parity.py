@@ -2673,6 +2673,111 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 51. kmv_distinct_users — deterministic KMV distinct-count sketch
+# (operators/sketches.py): per event_type, estimate the distinct user
+# count from the k=64 smallest portable hashes. The oracle reproduces
+# the SKETCH MATH (hash, rank, (k-1)*P // h_k), not just the answer —
+# estimates are bit-identical across engines. ~150 true distinct users
+# per type at every sf > 0.001, so the estimation (not exact-count)
+# path is exercised.
+# --------------------------------------------------------------------------
+_KMV_SQL = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 9007199254740881 AS hv
+    FROM events
+), ranked AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+), agg AS (
+    SELECT event_type, count(*) AS n, max(hv) AS kth
+    FROM ranked WHERE rn <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN n < 64 THEN n
+                 ELSE (63 * CAST(9007199254740881 AS BIGINT)) // kth
+            END AS BIGINT) AS n_distinct_est
+FROM agg
+"""
+
+
+@_register("kmv_distinct_users", _KMV_SQL)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.sketches import kmv_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct_count(ev, "user_id", ["event_type"], k=64)
+
+
+# --------------------------------------------------------------------------
+# 52. cms_token_counts — count-min frequency sketch
+# (operators/sketches.py): build a depth=4 × width=512 CMS over the
+# documents word stream (cell table shuffles <= 2048 rows no matter the
+# corpus size), then probe the 10 most frequent words. width=512 forces
+# real collisions, so est_count > exact_count for some probes — and the
+# oracle reproduces the identical overestimates (same md5-affine rows,
+# same buckets).
+# --------------------------------------------------------------------------
+_CMS_SQL = """
+WITH words AS (
+    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+    FROM documents
+), base AS (
+    SELECT word,
+        CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+          % 9007199254740881 AS hv
+    FROM words
+), dims AS (
+    SELECT unnest(generate_series(0, 3)) AS d
+), cells AS (
+    SELECT dims.d AS row,
+           ((base.hv * (2*dims.d + 3) + dims.d*1000003 + 12289)
+             % 9007199254740881) % 512 AS bucket,
+           count(*) AS cnt
+    FROM base CROSS JOIN dims
+    GROUP BY 1, 2
+), top AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+    FROM words GROUP BY word
+    ORDER BY exact_count DESC, word ASC LIMIT 10
+), probe AS (
+    SELECT t.word, t.exact_count, dims.d AS row,
+           ((CAST(('0x' || substr(md5(t.word), 1, 15)) AS BIGINT)
+               % 9007199254740881 * (2*dims.d + 3)
+             + dims.d*1000003 + 12289) % 9007199254740881) % 512 AS bucket
+    FROM top t CROSS JOIN dims
+)
+SELECT p.word, p.exact_count,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY p.word, p.exact_count
+"""
+
+
+@_register("cms_token_counts", _CMS_SQL)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.sketches import cms_build, cms_query
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("word")
+    )
+    sketch = cms_build(words, "word", depth=4, width=512)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("word"))
+        .limit(10)
+    )
+    est = cms_query(sketch, top, "word", depth=4, width=512)
+    return top.join(est, "word").select("word", "exact_count", "est_count")
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and
@@ -2700,13 +2805,15 @@ _GATE_ORDER = [
     "base64url_ids",
     "ingest_latency",
     "geo_cell_enrich",
-    # analytics / TPC-H join trees
+    # analytics / TPC-H join trees (q3/q10 are same-family twins of
+    # q5/q18 — past 50, still check_oracles-swept)
     "pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     "q18_large_volume_customers",
     "rollup_pricing",
+    # deterministic sketches (KMV cardinality + count-min frequency)
+    "kmv_distinct_users",
+    "cms_token_counts",
     # windows / sessions / temporal joins (§2.7)
     "windowed_event_counts",
     "session_window_stats",

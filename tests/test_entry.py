@@ -57,14 +57,16 @@ def test_gate_order_covers_every_family_in_first_50():
     names = list(entry_mod.queries())
     assert len(_GATE_ORDER) == 50
     assert names[:50] == _GATE_ORDER
-    # every family representative the r4 verdict called out as driver-unseen
+    # every family representative the r4 verdict called out as
+    # driver-unseen (q3/q10 stay past 50 as same-family twins of q5/q18),
+    # plus the round-5 sketch family
     must_be_gated = {
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q10_returned_items", "q18_large_volume_customers",
+        "q5_local_supplier_volume", "q18_large_volume_customers",
         "scd2_history", "snapshot_diff_states", "session_window_stats",
         "vocab_topk", "value_histogram", "bigram_counts", "truncate_pad",
         "split_assignment", "length_quantiles", "redact_pii_docs",
         "contamination_check", "curated_training_set",
+        "kmv_distinct_users", "cms_token_counts",
     }
     assert must_be_gated <= set(names[:50])
     # oracle_sql() must follow the same order for the driver's zip-compare

@@ -811,3 +811,79 @@ def test_assign_splits_deterministic_partition(spark, docs):
 
     with _pytest.raises(ValueError, match="sum to 1000"):
         assign_splits(docs, {"train": 900})
+
+
+# ---------------------------------------------------------------- sketches
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    """KMV with k=256 must estimate 10k distinct values within ~3/sqrt(k)
+    (≈19%, generous 3-sigma band over the ~6% expected error); below k
+    the sketch is EXACT."""
+    from arango_etl_spark.operators import sketches
+
+    big = spark.range(0, 10_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid")
+    )
+    est = sketches.kmv_distinct_count(big, "uid", k=256).collect()[0][
+        "n_distinct_est"
+    ]
+    assert abs(est - 10_000) / 10_000 < 0.19, est
+    small = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid")
+    )
+    exact = sketches.kmv_distinct_count(small, "uid", k=256).collect()[0][
+        "n_distinct_est"
+    ]
+    assert exact == 100  # n < k → exact count, not an estimate
+
+
+def test_kmv_merge_is_lossless(spark):
+    """Merging per-shard KMV sketches must equal the sketch of the full
+    data — bit-for-bit (the property that makes KMV a write-once table
+    statistic: per-day sketches roll up into monthly ones for free)."""
+    from arango_etl_spark.operators import sketches
+
+    full = spark.range(0, 5_000).select(
+        (F.col("id") % 2).alias("shard"),
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+    )
+    direct = sketches.kmv_sketch(full, "uid", k=128).collect()[0][
+        "kmv_hashes"
+    ]
+    per_shard = sketches.kmv_sketch(full, "uid", ["shard"], k=128)
+    merged = sketches.kmv_merge(per_shard, [], k=128).collect()[0][
+        "kmv_hashes"
+    ]
+    assert list(merged) == list(direct)
+
+
+def test_cms_never_underestimates_and_merges_linearly(spark):
+    """Count-min estimates >= exact counts always; cell-wise merge of two
+    half-sketches equals the sketch of the union (linearity)."""
+    from arango_etl_spark.operators import sketches
+
+    df = spark.range(0, 3_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 97)).alias("word")
+    )
+    # tight width to force collisions
+    sk = sketches.cms_build(df, "word", depth=4, width=64)
+    keys = df.distinct()
+    est = {
+        r["word"]: r["est_count"]
+        for r in sketches.cms_query(sk, keys, "word", depth=4, width=64).collect()
+    }
+    exact = {
+        r["word"]: r["cnt"]
+        for r in df.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert all(est[w] >= c for w, c in exact.items())
+    assert any(est[w] > c for w, c in exact.items())  # collisions happened
+    # linearity
+    a = df.where(F.col("word") < "w5")
+    b = df.where(~(F.col("word") < "w5"))
+    merged = sketches.cms_merge([
+        sketches.cms_build(a, "word", depth=4, width=64),
+        sketches.cms_build(b, "word", depth=4, width=64),
+    ])
+    direct = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == direct
