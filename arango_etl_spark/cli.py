@@ -63,8 +63,15 @@ def cmd_maintain(spark, args) -> None:
         m = rebucket(spark, table, new_n_buckets=args.rebucket)
         print(f"rebucketed to {m['n_buckets']} buckets (v{m['version']})")
     if args.do_compact:
-        m = compact(spark, table)
+        m = compact(
+            spark, table,
+            cluster_by=args.cluster_by,
+            max_records_per_file=args.max_records_per_file,
+        )
         print(f"compacted (v{m['version']})")
+    if args.analyze_cols:
+        m = table.analyze(spark, args.analyze_cols.split(","))
+        print(f"analyzed {args.analyze_cols} (v{m['version']})")
     if args.expire_keep is not None:
         table.expire_snapshots(keep_last=args.expire_keep)
         print(f"expired snapshots, kept last {args.expire_keep}")
@@ -328,6 +335,16 @@ def main() -> None:
                          help="off-path table maintenance (atomic commits)")
     mnt.add_argument("--compact", dest="do_compact", action="store_true",
                      help="fold MoR delta files to one row per key")
+    mnt.add_argument("--cluster-by", default=None,
+                     help="sort-order rewrite: cluster compacted files "
+                          "by this column (zone-map layout)")
+    mnt.add_argument("--max-records-per-file", type=int, default=None,
+                     help="roll compacted files every N records (narrow "
+                          "zone-map ranges per file)")
+    mnt.add_argument("--analyze", dest="analyze_cols", default=None,
+                     metavar="COL[,COL...]",
+                     help="collect per-file min/max zone maps for these "
+                          "columns (metadata-only commit)")
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="expire snapshots, keeping the last N versions")
     mnt.add_argument("--rebucket", type=int, default=None,

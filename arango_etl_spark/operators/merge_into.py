@@ -381,17 +381,32 @@ def _merge_cow(
     return files, set(touched)
 
 
-def compact(spark: SparkSession, table: SnapshotTable) -> dict:
+def compact(
+    spark: SparkSession,
+    table: SnapshotTable,
+    cluster_by: str | None = None,
+    max_records_per_file: int | None = None,
+) -> dict:
     """Fold all delta files back to one stored row per key (full table) and
     drop nothing — tombstones are retained so late events keep losing.
     At cluster scale this is Iceberg's rewrite_data_files maintenance job;
-    run it off the ingest hot path."""
+    run it off the ingest hot path.
+
+    ``cluster_by`` + ``max_records_per_file`` request the sort-order
+    rewrite layout: rows sorted by (bucket, cluster_by, key), files
+    rolled every N records so each covers a narrow cluster_by range —
+    the layout ``SnapshotTable.analyze`` + ``read_range`` zone-map
+    pruning is built for."""
     manifest = table.manifest()
     stored = table.read_stored(spark, manifest=manifest)
     resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
         "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)
     )
-    _, files = table.stage_write(resolved)
+    _, files = table.stage_write(
+        resolved,
+        cluster_by=cluster_by,
+        max_records_per_file=max_records_per_file,
+    )
     return table.commit(
         new_files=files,
         replaced_buckets=None,

@@ -204,6 +204,138 @@ class SnapshotTable:
             resolved = lww_resolve(stored, key_col)
         return resolved.where(~F.col("_deleted")).drop(*META_NAMES)
 
+    # ---------------------------------------------------------- zone maps
+    def analyze(self, spark: SparkSession, cols: list[str]) -> dict:
+        """Collect per-file zone maps (min/max) for ``cols`` over the
+        current snapshot and commit them as a metadata-only snapshot
+        (Iceberg manifests carry column bounds at write time; this is
+        the explicit ANALYZE retrofit for the mini-format).
+
+        One columnar scan of just the stats columns, grouped by
+        ``input_file_name()`` — the collect is file-count-bounded
+        metadata, same class as the bucket lists. Timestamp columns are
+        stored as unix MICROS (JSON-safe, total-ordered);
+        :meth:`read_range` converts bounds symmetrically."""
+        m = self.manifest()
+        files = self.data_files(m)
+        if not files:
+            return m
+        schema = self.stored_schema(m)
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        exprs = []
+        for c in cols:
+            col = F.col(c)
+            if isinstance(dtypes[c], T.TimestampType):
+                col = F.unix_micros(col)
+            exprs += [F.min(col).alias(f"_min_{c}"),
+                      F.max(col).alias(f"_max_{c}")]
+        rows = (
+            spark.read.schema(schema).parquet(*files)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*exprs)
+            .collect()
+        )
+        stats: dict[str, dict] = {}
+        for r in rows:
+            rel = self._rel_from_uri(r["_f"])
+            stats[rel] = {
+                c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in cols
+            }
+        return self.commit(
+            new_files={},
+            replaced_buckets=set(),
+            summary={"analyze": ",".join(cols)},
+            mode="analyze",
+            expected_version=m["version"],
+            file_stats=stats,
+        )
+
+    def _rel_from_uri(self, uri: str) -> str:
+        path = uri
+        if "://" in path:
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(path).path)
+        elif path.startswith("file:"):
+            path = path[5:]
+        return os.path.relpath(path, self.root)
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        manifest: dict | None = None,
+    ) -> DataFrame:
+        """Range scan with FILE-LEVEL zone-map pruning: open only the
+        files whose [min, max] for ``col`` intersects [lo, hi] (closed
+        bounds; either side may be None). Files without stats are always
+        read — pruning is an optimization, never a correctness filter;
+        the exact predicate is re-applied to whatever is opened.
+
+        SOUNDNESS: requires a ``one_row_per_key`` snapshot (post-
+        compaction). Under MoR deltas a key's WINNING version may sit in
+        a file the predicate prunes while a losing version survives in a
+        matching file — file pruning before LWW-resolve would then
+        resurrect the loser. The method raises on MoR manifests instead
+        of silently returning wrong rows; run ``compact`` (ideally with
+        ``cluster_by=col`` + ``max_records_per_file``) first. Recorded
+        experiment: 10k docs, 8 buckets × 4-way file roll on _seq_no →
+        a 10%-wide seq range opens 8/31 files
+        (test_maintenance.py::test_zone_map_range_pruning).
+        """
+        m = manifest or self.manifest()
+        if not m.get("one_row_per_key", False):
+            raise ValueError(
+                "read_range requires a one_row_per_key snapshot — run "
+                "compact() first (MoR deltas make file-level pruning "
+                "unsound: a pruned file may hold the winning version)"
+            )
+        schema = self.stored_schema(m)
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        is_ts = isinstance(dtypes[col], T.TimestampType)
+
+        def _bound(v):
+            if v is None or not is_ts:
+                return v
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:  # session TZ is pinned UTC
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            return v
+
+        lo_b, hi_b = _bound(lo), _bound(hi)
+        stats = m.get("file_stats", {})
+        keep: list[str] = []
+        for rel in (rel for fs in m["files"].values() for rel in fs):
+            s = stats.get(rel, {}).get(col)
+            if s is None:
+                keep.append(rel)
+                continue
+            fmin, fmax = s
+            if fmin is None and fmax is None:
+                continue  # all-null file: no row satisfies a range
+            if lo_b is not None and fmax is not None and fmax < lo_b:
+                continue
+            if hi_b is not None and fmin is not None and fmin > hi_b:
+                continue
+            keep.append(rel)
+        if keep:
+            pruned = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, r) for r in keep]
+            )
+        else:
+            pruned = spark.createDataFrame([], schema)
+        cond = ~F.col("_deleted")
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return pruned.where(cond).drop(*META_NAMES)
+
     # ------------------------------------------------------------ writers
     def stage_write(
         self,
@@ -212,6 +344,8 @@ class SnapshotTable:
         sort_within: bool = True,
         salt_n: int | None = None,
         pre_arranged: bool = False,
+        cluster_by: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> tuple[str, dict[str, list[str]]]:
         """Write df (with bucket_col) as one parquet dir partitioned by
         bucket; return (commit_dir_rel, files-by-bucket).
@@ -220,6 +354,15 @@ class SnapshotTable:
         so parquet row-group min/max stats support key-range skipping at
         scale (the engine's analogue of the reference's persistent sink
         indexes, /root/reference/src/handler/arangodb.rs:405-524).
+
+        ``cluster_by`` inserts a sort column between bucket and key —
+        combined with ``max_records_per_file`` (the sequential file-roll
+        inside each sorted bucket partition) every emitted file covers a
+        CONTIGUOUS, NARROW range of the cluster column. That is the
+        layout :meth:`analyze` zone maps + :meth:`read_range` pruning
+        are built for: the compaction-time clustering that turns a
+        time-range scan from "every file" into "the few files whose
+        [min,max] intersect" (Iceberg's sort-order rewrite).
         """
         commit_id = uuid.uuid4().hex[:12]
         rel = os.path.join("data", f"commit-{commit_id}")
@@ -249,8 +392,15 @@ class SnapshotTable:
         else:
             writer = df.repartition(n_parts, F.col(bucket_col))
         if sort_within and not pre_arranged:
-            writer = writer.sortWithinPartitions(bucket_col, self.manifest()["key_col"])
-        writer.write.partitionBy(bucket_col).mode("error").parquet(out)
+            sort_cols = [bucket_col]
+            if cluster_by:
+                sort_cols.append(cluster_by)
+            sort_cols.append(self.manifest()["key_col"])
+            writer = writer.sortWithinPartitions(*sort_cols)
+        w = writer.write.partitionBy(bucket_col).mode("error")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        w.parquet(out)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out):
             if not entry.startswith(f"{bucket_col}="):
@@ -274,6 +424,7 @@ class SnapshotTable:
         one_row_per_key: bool | None = None,
         expected_version: int | None = None,
         new_n_buckets: int | None = None,
+        file_stats: dict | None = None,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -285,6 +436,12 @@ class SnapshotTable:
         ``new_n_buckets`` records a bucket-layout change (rebucket jobs
         only — the new_files must already be laid out under the new
         scheme, so it is only legal with a full replace).
+
+        ``file_stats`` merges per-file zone-map entries
+        ({rel_path: {col: [min, max]}}) into the manifest; the parent's
+        entries carry over for files still referenced and are dropped
+        with their files — stats can never outlive or contradict the
+        file list.
         """
         if new_n_buckets is not None and replaced_buckets is not None:
             raise ValueError(
@@ -326,6 +483,14 @@ class SnapshotTable:
                 else (was_flat and mode != "append")
             ),
         }
+        kept = {rel for fs in files.values() for rel in fs}
+        stats = {
+            r: s for r, s in parent.get("file_stats", {}).items() if r in kept
+        }
+        if file_stats:
+            stats.update({r: s for r, s in file_stats.items() if r in kept})
+        if stats:
+            manifest["file_stats"] = stats
         self._write_manifest(manifest)
         return manifest
 

@@ -249,3 +249,81 @@ def test_remove_orphan_files(spark, tmp_path):
     assert got == {"a": [1]}
     # idempotent second pass
     assert t.remove_orphan_files(older_than_secs=3600)["removed_dirs"] == 0
+
+
+def test_zone_map_range_pruning(spark, tmp_path):
+    """Sort-order compaction + analyze + read_range: a narrow _seq_no
+    range must open only the files whose zone map intersects it, return
+    exactly the full-scan answer, and refuse to run on a MoR snapshot
+    (file pruning before LWW-resolve is unsound)."""
+    t = mk_table(tmp_path, "zones")
+    rows = [
+        ev("update", f"d{i:05d}", i, [i % 7], batch=0) for i in range(10_000)
+    ]
+    apply_changes(
+        spark, t, mk_events(spark, rows), batch_id=0,
+        fence_stream_id="z", strategy="mor", compact_every=0,
+    )
+    # MoR snapshot (append mode): pruning is unsound and must raise
+    with pytest.raises(ValueError, match="one_row_per_key"):
+        t.read_range(spark, "_seq_no", lo=100, hi=200)
+
+    from arango_etl_spark.operators.merge_into import compact
+
+    compact(spark, t, cluster_by="_seq_no", max_records_per_file=400)
+    t.analyze(spark, ["_seq_no"])
+    m = t.manifest()
+    all_files = t.data_files(m)
+    assert len(all_files) >= 24  # 8 buckets x ~1250 rows / 400 per file
+    assert set(m["file_stats"]) == {
+        os.path.relpath(f, t.root) for f in all_files
+    }
+
+    got = t.read_range(spark, "_seq_no", lo=1000, hi=1999)
+    opened = got.inputFiles()
+    assert got.count() == 1000
+    assert {r["doc_id"] for r in got.collect()} == {
+        f"d{i:05d}" for i in range(1000, 2000)
+    }
+    # 10% of the seq range → at most ~2 file spans per bucket
+    assert len(opened) <= len(all_files) // 2, (
+        f"opened {len(opened)}/{len(all_files)}"
+    )
+    print(f"zone-map pruning: opened {len(opened)}/{len(all_files)} files")
+
+    # stats survive carried-over commits and die with replaced files
+    compact(spark, t)  # plain re-compaction: new files, old stats dropped
+    assert "file_stats" not in t.manifest() or not any(
+        rel in t.manifest().get("file_stats", {})
+        for rel in (os.path.relpath(f, t.root) for f in all_files)
+    )
+    # pruning-free fallback still answers correctly (no stats present)
+    again = t.read_range(spark, "_seq_no", lo=1000, hi=1999)
+    assert again.count() == 1000
+
+
+def test_zone_map_timestamp_bounds(spark, tmp_path):
+    """Timestamp zone maps are stored as unix micros; read_range accepts
+    datetime bounds and converts symmetrically."""
+    import datetime as dt
+
+    t = mk_table(tmp_path, "tszones")
+    rows = [
+        ev("update", f"d{i:03d}", i, [1],
+           ts=dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+        for i in range(200)
+    ]
+    apply_changes(
+        spark, t, mk_events(spark, rows), batch_id=0,
+        fence_stream_id="z", strategy="cow", compact_every=0,
+    )
+    from arango_etl_spark.operators.merge_into import compact
+
+    compact(spark, t, cluster_by="_event_ts", max_records_per_file=25)
+    t.analyze(spark, ["_event_ts"])
+    got = t.read_range(
+        spark, "_event_ts",
+        lo=dt.datetime(2024, 1, 2), hi=dt.datetime(2024, 1, 3),
+    )
+    assert got.count() == 25  # hours 24..48 inclusive
+    assert len(got.inputFiles()) < len(t.data_files())
