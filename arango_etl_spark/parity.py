@@ -2673,6 +2673,88 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 50b. rollup_incremental — the incrementally-maintained continuous
+# aggregate (streaming/rollup.py): replay the same 5-version change log
+# as cdc_engine_replay through maintain_rollup (per-batch delta +
+# retraction via snapshot time travel), then return the ROLLUP table.
+# The oracle is the declarative groupBy over the final LWW state — the
+# incremental path must land on exactly the same numbers after updates
+# AND deletes.
+# --------------------------------------------------------------------------
+_ROLLUP_INC_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)       AS doc_id,
+        d.doc_id * 5 + t.k                        AS seq_no,
+        CASE WHEN (d.doc_id * 3 + t.k) % 11 = 0
+             THEN 'delete' ELSE 'update' END      AS op,
+        {n_tok_sql("d.doc_id", "d.doc_id*5 + t.k")}  AS n_tok,
+        d.source                                  AS source
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY seq_no DESC
+    ) AS rn FROM ev
+), final AS (
+    SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(coalesce(sum(CAST(n_tok AS DOUBLE)), 0.0) AS DOUBLE) AS total
+FROM final GROUP BY source
+"""
+
+
+@_register("rollup_incremental", _ROLLUP_INC_SQL)
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+    from arango_etl_spark.streaming.rollup import (
+        create_rollup_table,
+        maintain_rollup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0, "delete"
+        ).otherwise(F.lit("update")).alias("op"),
+        tokens_expr(F.col("doc_id"), seq).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+        F.col("source"),
+        (F.col("k") - 1).cast("long").alias("batch_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_ts"),
+    ).withColumnRenamed("doc_key", "doc_id")
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="parity_rollup_")
+    base = SnapshotTable.create(work + "/base", payload, n_buckets=16)
+    rollup = create_rollup_table(work + "/rollup", "source", T.StringType())
+    for b in range(5):
+        maintain_rollup(
+            spark, base, rollup, ev.where(F.col("batch_id") == b),
+            batch_id=b, group_col="source", measure_col="n_tok",
+            compact_every=0,
+        )
+    return rollup.read(spark).select(
+        "source", F.col("cnt"), F.col("total")
+    )
+
+
+# --------------------------------------------------------------------------
 # 51. kmv_distinct_users — deterministic KMV distinct-count sketch
 # (operators/sketches.py): per event_type, estimate the distinct user
 # count from the k=64 smallest portable hashes. The oracle reproduces
@@ -2790,9 +2872,10 @@ _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
     "lww_latest_per_key",
-    # joins & filters (§2.3, §2.6)
+    # joins & filters (§2.3, §2.6; semi_join_exists = same
+    # existence-predicate family as the anti join, past 50)
     "anti_join_unprocessed",
-    "semi_join_exists",
+    "rollup_incremental",
     "resume_cursor",
     "retry_cap_filter",
     "zero_default_lookup",
