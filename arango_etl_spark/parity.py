@@ -2860,6 +2860,89 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 53. q6_forecast_revenue — TPC-H Q6 shape: the pure scan-aggregate with
+# every predicate PUSHED to the parquet scan (shipdate window + discount
+# band + quantity cap) — zero joins, zero shuffles beyond the final
+# 1-row partial-agg merge; the canonical predicate-pushdown showcase
+# (plan-asserted in test_plans.py).
+# --------------------------------------------------------------------------
+_Q6_SQL = """
+SELECT round(coalesce(sum(l_extendedprice * l_discount), 0.0), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@_register("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 54. q14_promo_revenue — TPC-H Q14 shape: lineitem × part equi-join
+# (part broadcast — the dim side), conditional aggregation for the promo
+# revenue share over one shipdate month window.
+# --------------------------------------------------------------------------
+_Q14_SQL = """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 4
+       ) AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@_register("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and

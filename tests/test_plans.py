@@ -116,6 +116,19 @@ def test_range_join_is_hash_equi_join_not_nested_loop(spark):
     assert "HashJoin" in plan, plan[:3000]
 
 
+def test_q6_filters_reach_the_scan(spark):
+    """Q6 is the canonical pushdown case: shipdate/discount/quantity
+    predicates must appear as PushedFilters on the parquet scan, the
+    aggregate must be partial (map-side), and there must be no join."""
+    df = parity.q6_forecast_revenue(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "partial" in plan.lower(), plan[:2000]
+    pushed = plan[plan.find("PushedFilters"):][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
 def test_range_join_left_is_single_pass(spark):
     """Left mode must be ONE left_outer equi-join on the bin key with
     containment in the join condition — the round-4 shape (binned inner
