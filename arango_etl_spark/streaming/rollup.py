@@ -106,6 +106,7 @@ def _commit_rollup(
     group_col: str,
     stream_id: str,
     batch_id: int,
+    run_id: str | None = None,
 ) -> None:
     """Full-replace the rollup table (group-cardinality-sized by
     definition — the whole point of a rollup) with the fence recorded
@@ -125,7 +126,13 @@ def _commit_rollup(
     rollup.commit(
         new_files=files,
         replaced_buckets=None,
-        summary={f"fence.{stream_id}": int(batch_id)},
+        summary={
+            f"fence.{stream_id}": int(batch_id),
+            # run-id scopes the fence to one checkpoint lineage (epoch
+            # ids restart at 0 after checkpoint loss — same contract as
+            # apply_changes)
+            f"fence_run.{stream_id}": run_id,
+        },
         mode="merge",
         one_row_per_key=True,
         expected_version=m["version"],
@@ -140,13 +147,14 @@ def recompute_rollup(
     measure_col: str,
     stream_id: str = "rollup",
     batch_id: int = 0,
+    run_id: str | None = None,
 ) -> None:
     """Rebuild the rollup from the base's current state (bootstrap, or
     the fallback when incremental history has been expired)."""
     _commit_rollup(
         spark, rollup,
         _agg(base.read(spark), group_col, measure_col),
-        group_col, stream_id, batch_id,
+        group_col, stream_id, batch_id, run_id,
     )
 
 
@@ -169,13 +177,15 @@ def maintain_rollup(
     both tables are fenced on ``(stream_id, batch_id)``, so replays are
     no-ops and a crash between the two commits heals on re-run.
 
-    Returns {"rollup": "skipped"|"incremental"|"recomputed"}.
+    Returns {"rollup": "skipped"|"incremental"|"recomputed",
+    "base": MergeResult | None}.
     """
     last = rollup.last_batch_id(stream_id)
-    if last is not None and batch_id <= last:
+    stored_run = rollup.manifest()["summary"].get(f"fence_run.{stream_id}")
+    if last is not None and batch_id <= last and stored_run == run_id:
         # rollup already reflects this batch (and therefore so does the
         # base — the base commits first)
-        return {"rollup": "skipped"}
+        return {"rollup": "skipped", "base": None}
 
     pre_version = base.manifest()["version"]
     res = apply_changes(
@@ -190,18 +200,19 @@ def maintain_rollup(
         if commit_v is None:
             recompute_rollup(
                 spark, base, rollup, group_col, measure_col,
-                stream_id, batch_id,
+                stream_id, batch_id, run_id,
             )
-            return {"rollup": "recomputed"}
+            return {"rollup": "recomputed", "base": res}
         pre_version = base.manifest(commit_v)["parent"]
 
     try:
         pre_manifest = base.manifest(pre_version)
     except FileNotFoundError:  # expired mid-flight
         recompute_rollup(
-            spark, base, rollup, group_col, measure_col, stream_id, batch_id
+            spark, base, rollup, group_col, measure_col,
+            stream_id, batch_id, run_id,
         )
-        return {"rollup": "recomputed"}
+        return {"rollup": "recomputed", "base": res}
 
     key_col = base.manifest()["key_col"]
     # RAW batch keys (pre-dedup): a superset of the winners is harmless —
@@ -233,8 +244,10 @@ def maintain_rollup(
         )
         .where(F.col("cnt") > 0)
     )
-    _commit_rollup(spark, rollup, merged, group_col, stream_id, batch_id)
-    return {"rollup": "incremental"}
+    _commit_rollup(
+        spark, rollup, merged, group_col, stream_id, batch_id, run_id
+    )
+    return {"rollup": "incremental", "base": res}
 
 
 def _signed(

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from arango_etl_spark.operators.merge_into import apply_changes
+from arango_etl_spark.operators.merge_into import MergeResult, apply_changes
 from arango_etl_spark.plans.lakehouse import SnapshotTable
 from arango_etl_spark.streaming.lineage import LineageLog
 
@@ -72,6 +72,14 @@ class IngestConfig:
     # pre-watermark events are already in the snapshot and replaying one
     # could resurrect a deleted doc). None = no filter.
     min_seq_exclusive: int | None = None
+    # continuous aggregate: when rollup_root is set, every micro-batch
+    # also incrementally maintains a groupBy(rollup_group_col)
+    # count/sum(rollup_measure_col) rollup table at that path (created on
+    # first use; own fence — see streaming/rollup.py for the retraction
+    # and crash-heal semantics)
+    rollup_root: str | None = None
+    rollup_group_col: str = "source"
+    rollup_measure_col: str = "n_tok"
 
 
 def run_ingest(
@@ -94,6 +102,21 @@ def run_ingest(
     cfg = cfg or IngestConfig()
     schema = event_schema or EVENT_SCHEMA
     run_id = _fence_run_id(checkpoint_dir)
+
+    rollup_table = None
+    if cfg.rollup_root is not None:
+        from arango_etl_spark.streaming.rollup import create_rollup_table
+
+        if SnapshotTable.exists(cfg.rollup_root):
+            rollup_table = SnapshotTable(cfg.rollup_root)
+        else:
+            gtype = next(
+                f.dataType for f in table.payload_schema().fields
+                if f.name == cfg.rollup_group_col
+            )
+            rollup_table = create_rollup_table(
+                cfg.rollup_root, cfg.rollup_group_col, gtype
+            )
 
     # NOTE: .schema(schema) PINS the read schema — evolved columns in later
     # files are only picked up when the caller passes a widened
@@ -130,18 +153,36 @@ def run_ingest(
             if lineage is not None:
                 batch_df = batch_df.persist()
                 persisted = True
-            res = apply_changes(
-                spark,
-                table,
-                batch_df,
-                batch_id=epoch_id,
-                fence_stream_id=cfg.stream_id,
-                fence_run_id=run_id,
-                strategy=cfg.strategy,
-                dedup=cfg.dedup,
-                compact_every=cfg.compact_every,
-                min_seq_exclusive=cfg.min_seq_exclusive,
-            )
+            if rollup_table is not None:
+                from arango_etl_spark.streaming.rollup import maintain_rollup
+
+                out = maintain_rollup(
+                    spark, table, rollup_table, batch_df,
+                    batch_id=epoch_id,
+                    group_col=cfg.rollup_group_col,
+                    measure_col=cfg.rollup_measure_col,
+                    stream_id=cfg.stream_id,
+                    run_id=run_id,
+                    strategy=cfg.strategy,
+                    dedup=cfg.dedup,
+                    compact_every=cfg.compact_every,
+                )
+                res = out["base"] or MergeResult(
+                    version=table.current_version(), skipped=True
+                )
+            else:
+                res = apply_changes(
+                    spark,
+                    table,
+                    batch_df,
+                    batch_id=epoch_id,
+                    fence_stream_id=cfg.stream_id,
+                    fence_run_id=run_id,
+                    strategy=cfg.strategy,
+                    dedup=cfg.dedup,
+                    compact_every=cfg.compact_every,
+                    min_seq_exclusive=cfg.min_seq_exclusive,
+                )
             if (
                 cfg.expire_every
                 and not res.skipped

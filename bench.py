@@ -44,6 +44,8 @@ PARITY_QUERIES = [
     "pack_chunks",
     "q5_local_supplier_volume",   # NEW r4 (additive — totals not
     "range_join_windows",         # comparable across rounds)
+    "kmv_distinct_users",         # NEW r5: sketch family
+    "cms_token_counts",           # NEW r5
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs

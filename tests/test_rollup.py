@@ -76,7 +76,7 @@ def test_rollup_tracks_base_through_updates_and_deletes(spark, tmp_path):
             spark, base, rollup, mk_events(spark, rows), batch_id=b,
             group_col="source", measure_col="n_tok",
         )
-        assert out == {"rollup": "incremental"}
+        assert out["rollup"] == "incremental"
         assert _actual(spark, rollup) == _expected(spark, base), f"batch {b}"
 
 
@@ -92,7 +92,7 @@ def test_rollup_replay_is_noop(spark, tmp_path):
         spark, base, rollup, mk_events(spark, BATCHES[1]), batch_id=1,
         group_col="source", measure_col="n_tok",
     )
-    assert out == {"rollup": "skipped"}
+    assert out["rollup"] == "skipped"
     assert base.current_version() == v_base
     assert rollup.current_version() == v_roll
 
@@ -116,7 +116,7 @@ def test_rollup_heals_after_crash_between_commits(spark, tmp_path):
         spark, base, rollup, mk_events(spark, BATCHES[1]), batch_id=1,
         group_col="source", measure_col="n_tok",
     )
-    assert out == {"rollup": "incremental"}
+    assert out["rollup"] == "incremental"
     assert _actual(spark, rollup) == _expected(spark, base)
 
 
@@ -138,7 +138,7 @@ def test_rollup_recomputes_when_history_expired(spark, tmp_path):
         spark, base, rollup, mk_events(spark, BATCHES[1]), batch_id=1,
         group_col="source", measure_col="n_tok",
     )
-    assert out == {"rollup": "recomputed"}
+    assert out["rollup"] == "recomputed"
     assert _actual(spark, rollup) == _expected(spark, base)
 
 
@@ -158,5 +158,38 @@ def test_recompute_bootstrap(spark, tmp_path):
         spark, base, rollup, mk_events(spark, BATCHES[1]), batch_id=1,
         group_col="source", measure_col="n_tok",
     )
-    assert out == {"rollup": "incremental"}
+    assert out["rollup"] == "incremental"
+    assert _actual(spark, rollup) == _expected(spark, base)
+
+
+def test_rollup_through_streaming_runner(spark, tmp_path):
+    """run_ingest with rollup_root maintains the continuous aggregate
+    epoch-by-epoch through the REAL streaming path, and a second drain
+    of the same checkpoint changes nothing (fences on both tables)."""
+    from arango_etl_spark.sources.cdc_generator import (
+        GeneratorConfig,
+        write_event_batches,
+    )
+    from arango_etl_spark.streaming.runner import IngestConfig, run_ingest
+
+    feed = str(tmp_path / "feed")
+    cfg_gen = GeneratorConfig(n_events=800, n_docs=60, n_batches=4, seed=5)
+    write_event_batches(spark, cfg_gen, feed)
+    base = mk_table(tmp_path, "sbase")
+    rollup_root = str(tmp_path / "srollup")
+    cfg = IngestConfig(
+        stream_id="s", max_files_per_trigger=1, compact_every=0,
+        rollup_root=rollup_root,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_ingest(spark, feed, base, ckpt, cfg=cfg)
+
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+
+    rollup = SnapshotTable(rollup_root)
+    assert _actual(spark, rollup) == _expected(spark, base)
+    v_b, v_r = base.current_version(), rollup.current_version()
+    run_ingest(spark, feed, base, ckpt, cfg=cfg)  # re-drain: no-op
+    assert base.current_version() == v_b
+    assert rollup.current_version() == v_r
     assert _actual(spark, rollup) == _expected(spark, base)
