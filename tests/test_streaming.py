@@ -383,3 +383,55 @@ def test_streaming_session_windows_emit_closed_sessions(spark, tmp_path):
     assert (1, t0, t0 + dt.timedelta(minutes=40), 2) in got
     assert (2, t0 + dt.timedelta(minutes=5),
             t0 + dt.timedelta(minutes=35), 1) in got
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """attribute_clicks over two REAL file streams (append mode,
+    watermark-bounded state) must emit exactly what the same function
+    returns on the batch frames — the batch twin is the oracle."""
+    import datetime as dt
+
+    from arango_etl_spark.streaming.joins import attribute_clicks
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    imp_rows = [
+        (u, f"i{u}_{k}", t0 + dt.timedelta(minutes=5 * k + u))
+        for u in range(4) for k in range(6)
+    ]
+    click_rows = [
+        # some clicks inside the 30-min window of 1+ impressions, one
+        # click with no impression (user 9), one exactly-at-boundary
+        (0, "c0", t0 + dt.timedelta(minutes=12)),
+        (1, "c1", t0 + dt.timedelta(minutes=31)),
+        (2, "c2", t0 + dt.timedelta(minutes=2)),  # == first imp instant
+        (9, "c9", t0 + dt.timedelta(minutes=10)),
+    ]
+    imp_dir, click_dir = str(tmp_path / "imp"), str(tmp_path / "click")
+    imp_schema = "user_id long, imp_id string, imp_ts timestamp"
+    click_schema = "user_id long, click_id string, click_ts timestamp"
+    spark.createDataFrame(imp_rows, imp_schema).write.parquet(imp_dir)
+    spark.createDataFrame(click_rows, click_schema).write.parquet(click_dir)
+
+    batch = attribute_clicks(
+        spark.read.parquet(imp_dir), spark.read.parquet(click_dir)
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert expected, "fixture must produce attributions"
+    assert all(r[1] != "c9" for r in expected)  # no impression, no row
+    assert any(r[1] == "c2" for r in expected)  # boundary click attributes
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    si = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    sc = spark.readStream.schema(click_schema).parquet(click_dir)
+    q = (
+        attribute_clicks(si, sc)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == expected
