@@ -206,6 +206,9 @@ def cmd_current(spark, args) -> None:
             expire_every=args.expire_every,
             expire_keep_last=args.expire_keep_last,
             min_seq_exclusive=watermark,
+            rollup_root=args.rollup_table,
+            rollup_group_col=args.rollup_group_col,
+            rollup_measure_col=args.rollup_measure_col,
         ),
         event_schema=schema,
         available_now=args.drain,
@@ -323,6 +326,12 @@ def main() -> None:
     c.add_argument("--extra-columns", default=None,
                    help="comma list of name:type — widen the read schema "
                         "for additive evolution (superset-schema pattern)")
+    c.add_argument("--rollup-table", default=None,
+                   help="maintain a continuous aggregate at this table "
+                        "path every micro-batch (incremental rollup with "
+                        "update/delete retraction)")
+    c.add_argument("--rollup-group-col", default="source")
+    c.add_argument("--rollup-measure-col", default="n_tok")
     c.add_argument("--bootstrap-snapshot", default=None,
                    help="parquet dir of an initial table snapshot: "
                         "bulk-loaded once (fenced) before tailing")

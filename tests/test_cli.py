@@ -256,3 +256,37 @@ def test_cli_maintain_compact_expire_rebucket(spark, events_dir, tmp_path):
     manifests = [f for f in _os.listdir(t.meta_dir)
                  if f.startswith("v") and f.endswith(".json")]
     assert len(manifests) <= 2
+
+
+def test_cli_current_with_rollup(spark, tmp_path):
+    """--rollup-table maintains the continuous aggregate through the CLI
+    current mode; the rollup equals a from-scratch groupBy of the table."""
+    from pyspark.sql import functions as F
+
+    from tests.test_merge import ev, mk_events
+
+    rows = [ev("update", f"d{i}", i, [1] * (i + 1), src=f"src_{i % 2}")
+            for i in range(8)] + [ev("delete", "d3", 100, None, src="src_1")]
+    feed = str(tmp_path / "feed")
+    mk_events(spark, rows).coalesce(1).write.parquet(f"{feed}/batch=00000")
+    table_dir, rollup_dir = str(tmp_path / "tab"), str(tmp_path / "roll")
+    run_cli(
+        "--events", feed, "--table", table_dir, "--cores", "4",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "current", "--drain", "--rollup-table", rollup_dir,
+    )
+    base = SnapshotTable(table_dir)
+    expected = {
+        (r["source"], r["cnt"], r["total"])
+        for r in base.read(spark).groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.coalesce(
+                F.sum(F.col("n_tok").cast("double")), F.lit(0.0)
+            ).alias("total"),
+        ).collect()
+    }
+    got = {
+        (r["source"], r["cnt"], r["total"])
+        for r in SnapshotTable(rollup_dir).read(spark).collect()
+    }
+    assert got == expected and got
