@@ -1888,16 +1888,29 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key with containment in the join condition (the fact side is scanned
 # once — plan-asserted in test_plans.py).
 # --------------------------------------------------------------------------
+# ORACLE SHAPE NOTE: the obvious formulation (events LEFT JOIN windows
+# ON two inequalities) intermittently LIVELOCKS DuckDB's inequality-
+# left-join path under a multithreaded process (reproduced twice in
+# full-suite runs, hang always at this query's fetchall; the inner
+# inequality join used by range_join_windows has been stable for three
+# rounds). Decompose instead: inner inequality join for the matches,
+# then an EQUALITY left join to re-attach unmatched events — identical
+# semantics (multi-window events replicate through the equality join),
+# no inequality-outer-join plan anywhere.
 _RANGE_JOIN_LEFT_SQL = """
 WITH w AS (
     SELECT DISTINCT
            date_trunc('day', ts) + INTERVAL 2 HOUR AS start_ts,
            date_trunc('day', ts) + INTERVAL 4 HOUR AS end_ts
     FROM events
+), m AS (
+    SELECT e.event_id, w.start_ts
+    FROM events e
+    JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
 )
-SELECT e.event_id, w.start_ts AS win_start
+SELECT e.event_id, m.start_ts AS win_start
 FROM events e
-LEFT JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+LEFT JOIN m ON m.event_id = e.event_id
 """
 
 
