@@ -6,8 +6,8 @@ are scale-independent (no thresholds or dims tuned to one sf).
 
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
-do not hardcode it here). Round-4 record: all 66 queries matched at
-sf0.001, sf0.01 AND sf0.1; round-5 record below is refreshed by CI runs.
+do not hardcode it here). Round-5 record (2026-08-17): all 73 queries
+match at sf0.001, sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations
