@@ -116,6 +116,39 @@ def test_range_join_is_hash_equi_join_not_nested_loop(spark):
     assert "HashJoin" in plan, plan[:3000]
 
 
+def test_kmv_sketch_plan_shapes(spark):
+    """KMV scale claims, plan-asserted: the GLOBAL sketch ranks via a
+    distributed TakeOrderedAndProject (per-partition k-row heaps), never
+    a partitionBy(lit) window (which constant-folds to ONE task); the
+    GROUPED sketch's rank<=k filter runs as Catalyst WindowGroupLimit
+    with real group keys — zero unpartitioned windows in either."""
+    from arango_etl_spark.operators import sketches
+
+    base = spark.range(0, 1000).selectExpr(
+        "concat('u', id) AS uid", "id % 3 AS g"
+    )
+    g = sketches.kmv_sketch(base, "uid", k=64)
+    assert "TakeOrderedAndProject" in explain.physical_plan(g)
+    assert explain.unpartitioned_window_count(g) == 0
+    grouped = sketches.kmv_sketch(base, "uid", ["g"], k=64)
+    assert "WindowGroupLimit" in explain.physical_plan(grouped)
+    assert explain.unpartitioned_window_count(grouped) == 0
+
+
+def test_cms_shuffles_bounded_cells_and_broadcasts_sketch(spark):
+    """Count-min scale claims: the cell aggregation partial-aggregates
+    map-side (the shuffle carries at most depth x width cells, not raw
+    occurrences), and point queries broadcast the SKETCH (bounded d x w)
+    onto the probe coordinates, never the reverse."""
+    from arango_etl_spark.operators import sketches
+
+    words = spark.range(0, 5000).selectExpr("concat('w', id % 97) AS word")
+    sk = sketches.cms_build(words, "word", depth=4, width=64)
+    assert explain.has_partial_aggregation(sk)
+    est = sketches.cms_query(sk, words.distinct(), "word", depth=4, width=64)
+    assert "BroadcastHashJoin" in explain.physical_plan(est)
+
+
 def test_q6_filters_reach_the_scan(spark):
     """Q6 is the canonical pushdown case: shipdate/discount/quantity
     predicates must appear as PushedFilters on the parquet scan, the
