@@ -521,7 +521,14 @@ class SnapshotTable:
         """Garbage-collect: drop manifests older than the last ``keep_last``
         versions and delete data files no surviving snapshot references
         (Iceberg's expire_snapshots). Readers of retained versions are
-        unaffected — files shared with newer snapshots are kept."""
+        unaffected — files shared with newer snapshots are kept.
+
+        SCALE NOTE: the unlink loop here is driver-side `os` — correct
+        for this local mini-format, but a known wall at object-store
+        scale (millions of per-file DELETE round trips from one
+        process). The real-Iceberg adapter (plans/iceberg_sink.py)
+        delegates to Iceberg's own `expire_snapshots` maintenance
+        action, which distributes the file enumeration and deletion."""
         cur = self.current_version()
         all_versions = sorted(
             int(f[1:-5]) for f in os.listdir(self.meta_dir)
@@ -567,7 +574,12 @@ class SnapshotTable:
         mtime is older than the grace window, so an IN-FLIGHT
         stage_write racing this GC is never touched (same grace
         contract as Iceberg's `older_than`). Empty commit dirs are
-        pruned afterwards. Run off the ingest path."""
+        pruned afterwards. Run off the ingest path.
+
+        SCALE NOTE: same driver-side-`os` caveat as expire_snapshots —
+        the real-Iceberg adapter delegates to the distributed
+        `remove_orphan_files` action instead of walking from the
+        driver."""
         import time as _time
 
         referenced: set[str] = set()
