@@ -3032,6 +3032,445 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 56. q4_order_priority — TPC-H Q4 shape: EXISTS-correlated semi-join
+# (orders with at least one lineitem shipped after the order date) +
+# priority histogram. Catalyst rewrites the existence predicate to a
+# LEFT SEMI hash join with the non-equi conjunct evaluated inside the
+# join — no correlated per-row subquery execution survives.
+# (Adapted: testdata has no l_commitdate/l_receiptdate, so "late" is
+# l_shipdate > o_orderdate; reference scan-filter family
+# /root/reference/src/s3.rs:113-149.)
+# --------------------------------------------------------------------------
+_Q4_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@_register("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 57. q8_market_share — TPC-H Q8 shape: the widest join tree in the suite
+# (lineitem × part × supplier × orders × customer × nation×2 × region,
+# 8 relations) with a conditional-share aggregate: NATION_3 suppliers'
+# fraction of PROMO-part revenue sold to ASIA customers, per order year.
+# Every dim side is broadcast; lineitem is the only shuffled relation.
+# --------------------------------------------------------------------------
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+    SELECT year(o.o_orderdate)                    AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name                              AS nation
+    FROM lineitem l
+    JOIN part     p  ON p.p_partkey   = l.l_partkey
+    JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+    JOIN orders   o  ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c  ON c.c_custkey   = o.o_custkey
+    JOIN nation   n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region   r  ON r.r_regionkey  = n1.n_regionkey
+    JOIN nation   n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@_register("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cus = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cus), orders["o_custkey"] == cus["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(region), F.col("n1_region") == region["r_regionkey"]
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    return (
+        joined.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", volume).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 58. q13_customer_distribution — TPC-H Q13 shape: LEFT OUTER join with a
+# predicate on the NULL-producing side (only non-urgent orders count),
+# then a two-level aggregation: orders per customer → customers per
+# order-count. Customers with zero qualifying orders must survive with
+# c_count = 0 — the outer join is load-bearing, not decoration.
+# --------------------------------------------------------------------------
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@_register("q13_customer_distribution", _Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cus = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cus.join(orders, cus["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# 59. q15_top_supplier — TPC-H Q15 shape: an aggregate view (quarterly
+# revenue per supplier) reused twice — once for the rows, once for the
+# scalar max — joined back to the supplier dim. The scalar side is a
+# 1-row broadcast, NOT a driver collect; rounding to cents on BOTH
+# engines before the equality makes the max-match portable.
+# --------------------------------------------------------------------------
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@_register("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# 60. q17_small_quantity — TPC-H Q17 shape: a per-key correlated scalar
+# subquery (each lineitem compared to HALF the average quantity of ITS
+# part) decorrelated into a partial-aggregated self-join — the classic
+# "aggregate once, join back" rewrite. Quantities are integer-valued
+# doubles, so avg() is exact in both engines and the < compare is
+# portable. (Adapted: 0.5×avg and brand-only filter — no container
+# column in testdata.)
+# --------------------------------------------------------------------------
+_Q17_SQL = """
+SELECT round(coalesce(sum(l.l_extendedprice), 0.0) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@_register("q17_small_quantity", _Q17_SQL)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    # decorrelated: per-part threshold aggregated once, joined back
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 61. q19_disjunctive_pushdown — TPC-H Q19 shape: a disjunction of
+# conjunctive bands spanning BOTH join sides. Catalyst factors the
+# common l_partkey = p_partkey equi-key out of the OR (the join stays a
+# hash join, not a nested loop) and pushes the derivable per-side
+# residuals (brand ∈ {...}, quantity ≤ 30) below the join.
+# --------------------------------------------------------------------------
+_Q19_SQL = """
+SELECT round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@_register("q19_disjunctive_pushdown", _Q19_SQL)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .where(band)
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 62. q21_sole_returner — TPC-H Q21 shape: the double-correlated
+# existence test (EXISTS another supplier in the order, NOT EXISTS
+# another supplier who ALSO returned) expressed as a LEFT SEMI then
+# LEFT ANTI self-join of lineitem — the join-based decorrelation Spark
+# and the reference's done-file scans both rely on. (Adapted: "kept
+# waiting" = sole R-returnflag supplier in a multi-supplier F order —
+# no receipt/commit dates in testdata.)
+# --------------------------------------------------------------------------
+_Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey  = l1.l_suppkey
+JOIN orders   o  ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+"""
+
+
+@_register("q21_sole_returner", _Q21_SQL)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(orders, sole["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 63. q22_dormant_customers — TPC-H Q22 shape: a global scalar aggregate
+# subquery (average positive balance, rounded identically on both
+# engines to make the > compare portable) broadcast against every
+# customer, plus a NOT EXISTS anti-join to orders; per-segment counts
+# of rich-but-dormant customers. (Adapted: c_mktsegment stands in for
+# the phone country code — no c_phone in testdata — and dormancy is a
+# DATE-WINDOWED NOT EXISTS (no order since 1999) because every testdata
+# customer has some order; the pushed-down date filter keeps the
+# anti-join's build side small.)
+# --------------------------------------------------------------------------
+_Q22_SQL = """
+WITH avg_bal AS (
+    SELECT round(avg(c_acctbal), 4) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+@_register("q22_dormant_customers", _Q22_SQL)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cus = _t(spark, sf_dir, "customer")
+    avg_bal = cus.where(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("_a")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cus.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_a"))
+        .join(orders, cus["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and
