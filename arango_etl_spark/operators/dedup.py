@@ -628,3 +628,52 @@ def near_dup_representatives(
         F.max_by(F.col(id_col), pref).alias("rep_doc_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Cross-corpus overlap matrix: for every pair of groups (sources,
+    crawls, dumps), the number of DISTINCT word n-gram shingles they
+    share, plus the containment ratio shared / min(|A|, |B|) — the
+    standard "how much of the smaller corpus is inside the bigger one"
+    signal used to pick dedup order across training-data sources.
+
+    Scale shape: one partial-aggregating distinct over (group, shingle)
+    reduces the corpus to its per-source shingle vocabulary BEFORE any
+    join; the self-join is keyed on the shingle, and per-shingle fan-out
+    is bounded by the number of groups (sources², never docs²). The
+    per-group size table is tiny (one row per source) and broadcast.
+    Reference parity: corpus-level accounting family, done-set scans at
+    /root/reference/src/s3.rs:113-149."""
+    sh = shingles(docs, text_col, ngram, id_col=group_col).distinct()
+    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(group_col).alias("source_a"), "shingle")
+    b = sh.select(F.col(group_col).alias("source_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("source_a"), F.col("_n").alias("_na")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("source_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles") / F.least("_na", "_nb"), 4
+            ).alias("containment"),
+        )
+    )

@@ -497,3 +497,37 @@ def ivf_cosine_topk(
     lifetime as write-time state."""
     index = build_ivf_index(embeddings, n_centroids, id_col, vec_col)
     return ivf_query(index, query, k, n_probe, query_id_col, single_query)
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling): the
+    standard 4× memory/bandwidth reduction applied to an embedding
+    column before ANN search or training-shard export. q[i] =
+    round(v[i] / scale) with scale = max|v| / 127, so every component
+    lands in [-127, 127] by construction; the scale is kept alongside
+    for dequantization (v ≈ q · scale).
+
+    Map-only — no shuffle, no UDF: the whole transform is one
+    whole-stage-codegen projection (transform/array_max/round), so it
+    streams at scan speed over 100 TB and composes with any downstream
+    partitioning. float32 inputs are cast to double FIRST: every engine
+    then runs the identical IEEE ops, which is what makes the DuckDB
+    oracle pair exact. The 1e-30 floor guards the all-zero vector
+    (scale 0 → division blow-up) without disturbing any real input."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_scale = emb.select(F.col(id_col), vd.alias("_vd")).withColumn(
+        "_scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("_vd"), F.abs)) / F.lit(127.0),
+            F.lit(1e-30),
+        ),
+    )
+    return with_scale.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 9).alias("q_scale"),
+        F.transform(
+            F.col("_vd"), lambda x: F.round(x / F.col("_scale")).cast("int")
+        ).alias("qvec"),
+    )

@@ -210,3 +210,37 @@ def repetition_signals(
             _ppm(F.col("b_top"), F.col("b_total")).alias("top_bigram_ppm"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LM-based quality score (CCNet-style, degenerated to the corpus's
+    own unigram model — deterministic, no external LM): per document,
+    the mean negative log2-probability of its tokens under the global
+    token distribution. Low mean_nll = stereotyped/boilerplate-heavy
+    text; high = rare-token-dense (OCR noise, codes). Filtering the two
+    tails is the classic curation move.
+
+    Scale shape: the count table aggregates the corpus down to its
+    vocabulary (partial-agg shuffle) before the token→count join; the
+    join is keyed on the token, where stopword-grade hot keys are
+    exactly what AQE's skew-join split handles, and the 1-row total is
+    a broadcast. Nothing leaves the JVM."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    return (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.avg(-F.log2(F.col("cnt") / F.col("tot"))).alias("mean_nll"),
+        )
+    )

@@ -3471,6 +3471,110 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 64. quantize_embeddings — int8 symmetric quantization of the embedding
+# column (operators/similarity.quantize_embeddings): map-only, cast to
+# double before ALL arithmetic so both engines run identical IEEE ops.
+# --------------------------------------------------------------------------
+_QUANT_SQL = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+), s AS (
+    SELECT vec_id, vd,
+           greatest(list_max(list_transform(vd, x -> abs(x))) / 127.0,
+                    1e-30) AS sc
+    FROM v
+)
+SELECT vec_id,
+       round(sc, 9) AS q_scale,
+       list_transform(vd, x -> CAST(round(x / sc) AS INTEGER)) AS qvec
+FROM s
+"""
+
+
+@_register("quantize_embeddings", _QUANT_SQL)
+def quantize_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# 65. unigram_logprob_quality — corpus-unigram LM quality scoring
+# (operators/text.unigram_logprob, CCNet-style filtering signal). The
+# per-doc mean is a short double sum → rounded to 4dp for portability.
+# --------------------------------------------------------------------------
+_UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+    FROM documents
+), counts AS (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+    SELECT sum(cnt) AS tot FROM counts
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(-log2(CAST(c.cnt AS DOUBLE) / tot)), 4) AS mean_nll
+FROM toks t JOIN counts c USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@_register("unigram_logprob_quality", _UNIGRAM_SQL)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.text import unigram_logprob
+
+    scored = unigram_logprob(_t(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id", "n_tok", F.round("mean_nll", 4).alias("mean_nll")
+    )
+
+
+# --------------------------------------------------------------------------
+# 66. source_overlap_matrix — cross-source corpus overlap via shared
+# distinct 5-gram shingles + containment ratio (operators/dedup.
+# source_overlap): the dedup-order planning signal for multi-source
+# training corpora. Shingle definition mirrors the minhash oracle CTE.
+# --------------------------------------------------------------------------
+_OVERLAP_SQL = r"""
+WITH ws AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(0, greatest(len(w) - 5, 0)),
+                   i -> array_to_string(w[i+1:i+5], ' '))) AS shingle
+        FROM ws)
+    WHERE shingle <> ''
+), sizes AS (
+    SELECT source, count(*) AS n FROM sh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_shingles,
+       round(count(*) / least(min(sa.n), min(sb.n)), 4) AS containment
+FROM sh a
+JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source
+JOIN sizes sb ON sb.source = b.source
+GROUP BY a.source, b.source
+"""
+
+
+@_register("source_overlap_matrix", _OVERLAP_SQL)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.dedup import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), ngram=5)
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and

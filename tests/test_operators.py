@@ -887,3 +887,50 @@ def test_cms_never_underestimates_and_merges_linearly(spark):
     direct = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == direct
+
+
+# ------------------------------------------- int8 quantization (round 5)
+def test_quantize_embeddings_bounds_and_dequant(spark, emb):
+    q = similarity.quantize_embeddings(emb).collect()
+    assert len(q) == emb.count()
+    for row in q[:50]:
+        assert all(-127 <= x <= 127 for x in row["qvec"])
+        assert row["q_scale"] > 0
+    # dequantization error is bounded by scale/2 per component
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for row in q[:20]:
+        v = orig[row["vec_id"]]
+        for qx, vx in zip(row["qvec"], v):
+            assert abs(qx * row["q_scale"] - vx) <= row["q_scale"] / 2 + 1e-9
+
+
+def test_quantize_embeddings_zero_vector_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [0, 0, 0]          # no div-by-zero blow-up
+    assert rows[2]["qvec"][1] in (-127,)         # max-abs maps to ±127
+
+
+# ------------------------------------------- source overlap (round 5)
+def test_source_overlap_pairs_ordered_and_bounded(spark, docs):
+    m = dedup.source_overlap(docs, ngram=5).collect()
+    assert len(m) > 0
+    for r in m:
+        assert r["source_a"] < r["source_b"]     # each pair emitted once
+        assert 0 < r["containment"] <= 1.0
+        assert r["shared_shingles"] >= 1
+
+
+# ------------------------------------------- unigram LM quality (round 5)
+def test_unigram_logprob_tails(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the zzzrare the the")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    # doc 2 contains a singleton token -> strictly higher surprise
+    assert rows[2]["mean_nll"] > rows[1]["mean_nll"]
+    assert rows[1]["n_tok"] == 4 and rows[2]["n_tok"] == 4
