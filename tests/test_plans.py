@@ -290,3 +290,66 @@ def test_minhash_simhash_hash_once_in_plan(spark):
     assert p1.count("md5") == 1, p1[:2000]
     p2 = explain.physical_plan(simhash(docs))
     assert p2.count("md5") == 1, p2[:2000]
+
+
+def test_q4_exists_is_semi_join_with_pushed_date(spark):
+    """The EXISTS rewrites to a LEFT SEMI hash join (no correlated
+    per-row subquery) and the orderdate window reaches orders' scan."""
+    df = parity.q4_order_priority(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
+    pushed = plan[plan.find("PushedFilters"):][:400]
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_q8_broadcasts_every_dim(spark):
+    """The 8-relation tree must shuffle only lineitem(+orders): part,
+    supplier, customer, nation ×2 and region all ride broadcasts."""
+    df = parity.q8_market_share(spark, SF)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:4000]
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """The OR-of-bands predicate must NOT demote the p_partkey equi-join
+    to a nested loop; the derivable quantity band pushes to lineitem."""
+    df = parity.q19_disjunctive_pushdown(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    """Double-correlated existence = one LeftSemi + one LeftAnti over
+    lineitem — the decorrelated join shape, never a per-row subquery."""
+    df = parity.q21_sole_returner(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+
+
+def test_quantize_is_map_only(spark):
+    """int8 quantization must be a pure projection: no exchange, no
+    aggregate, one codegen stage over the scan."""
+    from arango_etl_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = quantize_embeddings(emb)
+    plan = explain.physical_plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Aggregate" not in plan, plan[:2000]
+
+
+def test_source_overlap_aggregates_before_join(spark):
+    """The (source, shingle) distinct must reduce ahead of the
+    self-join: partial aggregation present, and the pair join keyed on
+    the shingle (hash join, not nested loop)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from arango_etl_spark.operators.dedup import source_overlap
+
+    df = source_overlap(docs, ngram=5)
+    plan = explain.physical_plan(df)
+    assert "partial" in plan.lower(), plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
