@@ -153,3 +153,136 @@ def read_events_parquet(
         .parquet(path)
     )
     return ReadResult(events=df)
+
+
+# Debezium envelope field names and op codes are a PUBLIC wire contract
+# (debezium.io change-event format): op c=create, u=update, d=delete,
+# r=snapshot read; before/after row images; source.lsn = total order
+# within the origin log; ts_ms = wall-clock capture time.
+_DBZ_OPS = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+
+def debezium_envelope_schema(value_schema: T.StructType) -> T.StructType:
+    """Envelope schema for a given row-image schema, accepting BOTH the
+    Kafka-Connect shape ({"payload": {...}}) and the unwrapped shape
+    (top-level before/after/op/...) in the same file: every field is
+    declared at both levels and resolution coalesces payload-first."""
+    body = [
+        T.StructField("before", value_schema),
+        T.StructField("after", value_schema),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("txId", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+    return T.StructType(
+        [T.StructField("payload", T.StructType(body))] + body
+    )
+
+
+def debezium_to_events(parsed: DataFrame, value_schema: T.StructType) -> DataFrame:
+    """Columnar Debezium-envelope → change-event projection. Pure column
+    expressions (no actions, no UDFs), so it applies identically to a
+    BATCH frame (read_events_debezium) and a STREAMING frame:
+
+        spark.readStream.schema(debezium_envelope_schema(vs)).json(dir)
+             .transform(lambda df: debezium_to_events(df, vs))
+
+    feeds run_ingest's foreachBatch unchanged. Rows with unknown op
+    codes are filtered here; batch callers get them DLQ-tagged by
+    read_events_debezium."""
+
+    def pick(field: str):
+        return F.coalesce(F.col(f"payload.{field}"), F.col(field))
+
+    dbz_op = pick("op")
+    row_image = F.when(
+        dbz_op == "d", F.coalesce(pick("before"), pick("after"))
+    ).otherwise(F.coalesce(pick("after"), pick("before")))
+    mapped_op = (
+        F.when(dbz_op == "d", F.lit("delete"))
+        .when(dbz_op == "u", F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    seq = F.coalesce(pick("source").getField("lsn"), pick("ts_ms"))
+    return parsed.where(dbz_op.isin(*_DBZ_OPS.keys())).select(
+        mapped_op.alias("op"),
+        row_image.getField("doc_id").alias("doc_id"),
+        seq.cast("long").alias("seq_no"),
+        row_image.getField("tokens").alias("tokens"),
+        row_image.getField("n_tok").alias("n_tok"),
+        row_image.getField("source").alias("source"),
+        F.lit(None).cast("long").alias("batch_id"),
+        F.timestamp_millis(pick("ts_ms")).alias("event_ts"),
+    )
+
+
+def read_events_debezium(
+    spark: SparkSession,
+    path: str,
+    value_schema: T.StructType | None = None,
+) -> ReadResult:
+    """Debezium-style CDC envelopes (JSON lines) → the engine's change
+    event schema, ready for ``apply_changes``/``run_ingest``:
+
+    - op codes map c/r → insert (snapshot reads are inserts on replay),
+      u → update, d → delete; unknown codes are counted as corrupt via
+      the same DLQ channel as undecodable lines (they carry no usable
+      change), not silently dropped.
+    - the row image is ``after`` for upserts, ``before`` for deletes
+      (Debezium deletes carry after = null) — coalesced per field.
+    - ``seq_no`` (the engine's LWW total order) is source.lsn when the
+      connector provides it, else ts_ms: log position orders correctly
+      across connector restarts, wall-clock is the documented fallback.
+      CAUTION: the fallback is per-row — a feed that mixes lsn-bearing
+      and lsn-less envelopes would interleave two incomparable scales
+      and corrupt the LWW order. Real connectors are consistent per
+      topic; keep them that way (or pre-normalize) before ingesting.
+    - ``event_ts`` is ts_ms as a real timestamp; ``batch_id`` stays
+      null — the ingest runner stamps its own epoch.
+
+    Scale: one schema-enforced JSON scan, all mapping is columnar
+    (from_json + coalesce + CASE), no UDFs; the PERMISSIVE corrupt
+    channel keeps poison lines replayable via ``quarantine``.
+
+    Default value_schema matches the engine's document payload
+    (doc_id/tokens/n_tok/source)."""
+    value_schema = value_schema or T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    env = debezium_envelope_schema(value_schema)
+    raw = (
+        spark.read.schema(_with_corrupt(env))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    events = debezium_to_events(_split(raw), value_schema)
+    # unknown op codes join the corrupt channel: re-tag them in raw so
+    # quarantine() parks them alongside undecodable lines
+    raw_flagged = raw.withColumn(
+        "_corrupt_record",
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.when(
+                ~F.coalesce(
+                    F.col("payload.op"), F.col("op")
+                ).isin(*_DBZ_OPS.keys()),
+                F.to_json(F.struct("*")),
+            ),
+        ),
+    )
+    return ReadResult(events=events, raw=raw_flagged)

@@ -143,3 +143,102 @@ def test_windowed_metrics_streaming_with_watermark(spark, tmp_path):
     q.awaitTermination()
     out = spark.sql("SELECT sum(n_events) s FROM win_metrics").collect()[0]["s"]
     assert out == events.count()
+
+
+def test_debezium_envelope_reader(spark, tmp_path):
+    """Debezium envelopes (payload-wrapped AND unwrapped in one feed):
+    op mapping, before/after image selection, lsn-over-ts_ms ordering,
+    unknown-op + undecodable lines landing in the same DLQ channel."""
+    import json
+    import os
+
+    from arango_etl_spark.sources.readers import read_events_debezium
+
+    def env(op, after=None, before=None, lsn=None, ts_ms=0, wrap=True):
+        body = {"op": op, "after": after, "before": before, "ts_ms": ts_ms,
+                "source": {"name": "pg", "lsn": lsn, "txId": None}}
+        return json.dumps({"payload": body} if wrap else body)
+
+    row_a1 = {"doc_id": "a", "tokens": [1, 2], "n_tok": 2, "source": "s"}
+    row_a2 = {"doc_id": "a", "tokens": [3], "n_tok": 1, "source": "s"}
+    row_b = {"doc_id": "b", "tokens": [9], "n_tok": 1, "source": "s"}
+    p = str(tmp_path / "dbz")
+    os.makedirs(p)
+    with open(f"{p}/feed.json", "w") as fh:
+        fh.write(env("r", after=row_a1, lsn=10, ts_ms=1000) + "\n")        # snapshot read
+        fh.write(env("u", after=row_a2, before=row_a1, lsn=20,
+                     ts_ms=2000, wrap=False) + "\n")                       # unwrapped update
+        fh.write(env("c", after=row_b, lsn=30, ts_ms=3000) + "\n")
+        fh.write(env("d", before=row_b, lsn=40, ts_ms=4000) + "\n")        # delete keeps before
+        fh.write(env("x", after=row_b, lsn=50, ts_ms=5000) + "\n")         # unknown op
+        fh.write("garbage line\n")
+
+    res = read_events_debezium(spark, p)
+    rows = {(r["doc_id"], r["seq_no"]): r for r in res.events.collect()}
+    assert len(rows) == 4
+    assert rows[("a", 10)]["op"] == "insert"          # r → insert
+    assert rows[("a", 20)]["op"] == "update"          # unwrapped parsed too
+    assert rows[("a", 20)]["tokens"] == [3]           # after image, not before
+    assert rows[("b", 40)]["op"] == "delete"
+    assert rows[("b", 40)]["n_tok"] == 1              # before image on delete
+    assert rows[("a", 10)]["event_ts"].timestamp() == 1.0
+
+    # ts_ms fallback: a SEPARATE lsn-less feed (mixing scales in one
+    # feed would interleave incomparable LWW orders — documented hazard)
+    p2 = str(tmp_path / "dbz_nolsn")
+    os.makedirs(p2)
+    with open(f"{p2}/feed.json", "w") as fh:
+        fh.write(env("c", after=row_b, lsn=None, ts_ms=3000) + "\n")
+    r2 = read_events_debezium(spark, p2).events.collect()
+    assert r2[0]["seq_no"] == 3000
+    # unknown op + garbage → 2 in the DLQ channel
+    assert res.corrupt_count == 2
+    dlq = str(tmp_path / "dbz_dlq")
+    assert res.quarantine(dlq) == 2
+
+    # end-to-end: the parsed stream replays through the real merge engine
+    t = SnapshotTable.create(
+        str(tmp_path / "t_dbz"), PAYLOAD_SCHEMA, n_buckets=4
+    )
+    apply_changes(spark, t, res.events.withColumn("batch_id", F.lit(0)))
+    final = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert set(final) == {"a"}                        # b deleted at seq 40
+    assert final["a"]["tokens"] == [3]                # LWW at seq 20
+
+
+def test_debezium_projection_works_on_streams(spark, tmp_path):
+    """debezium_to_events is pure-columnar: the same projection must
+    plan on a readStream frame and drain the mapped rows."""
+    import json
+    import os
+
+    from arango_etl_spark.sources.readers import (
+        debezium_envelope_schema,
+        debezium_to_events,
+    )
+    from tests.test_merge import PAYLOAD_SCHEMA as VS
+
+    p = str(tmp_path / "dbz_stream")
+    os.makedirs(p)
+    body = {"op": "c", "after": {"doc_id": "z", "tokens": [7], "n_tok": 1,
+                                 "source": "s"}, "before": None,
+            "ts_ms": 1000, "source": {"name": "pg", "lsn": 5, "txId": None}}
+    with open(f"{p}/feed.json", "w") as fh:
+        fh.write(json.dumps({"payload": body}) + "\n")
+
+    stream = (
+        spark.readStream.schema(debezium_envelope_schema(VS))
+        .json(p)
+        .transform(lambda df: debezium_to_events(df, VS))
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dbz_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM dbz_mem").collect()
+    assert len(rows) == 1 and rows[0]["op"] == "insert"
+    assert rows[0]["seq_no"] == 5 and rows[0]["doc_id"] == "z"
