@@ -35,6 +35,17 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def fast_hash60(col: Column) -> Column:
+    """xxhash64 folded to a non-negative < 2^60 value: the production
+    base hash (whole-stage-codegen intrinsic, no hex-string round trip).
+    NOT portable to the DuckDB oracle — use only where a parity twin is
+    not required (minhash fast mode). shiftright keeps the value far
+    from int64 overflow under the affine derivations (ANSI mode)."""
+    return F.shiftright(F.xxhash64(col), 4).cast("long").bitwiseAND(
+        F.lit((1 << 60) - 1)
+    )
+
+
 def _affine_k(h_mod: Column, k: int) -> Column:
     """k-th portable hash from the base hash: (a_k*h + b_k) mod P."""
     return F.pmod(h_mod * F.lit(2 * k + 3) + F.lit(k * 1000003 + 12289),
@@ -87,16 +98,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     ngram: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: sig[k] = min over shingles of the k-th
-    affine hash of the shingle's md5-prefix hash. Vectorized via explode +
-    groupBy(min); one md5 per shingle, n_hashes cheap arithmetic derivations
-    (CollapseProject keeps the md5 in its own projection because `hm` is a
-    non-cheap expr referenced n_hashes times)."""
+    affine hash of the shingle's base hash. Vectorized via explode +
+    groupBy(min); one base hash per shingle, n_hashes cheap arithmetic
+    derivations (CollapseProject keeps the base hash in its own projection
+    because `hm` is a non-cheap expr referenced n_hashes times).
+
+    ``fast=True`` swaps the md5-prefix base hash for ``xxhash64`` — a JVM
+    codegen intrinsic with no hex-string round trip, measurably cheaper
+    on the 100 TB path where shingle hashing dominates. The hash FAMILY
+    changes (bucket assignments differ; near-dup recall statistics are
+    equivalent), so fast mode has no DuckDB oracle twin — the md5 default
+    stays the oracle-parity mode; fixtures pin that fast mode still finds
+    the planted near-dup pairs."""
     sh = shingles(docs, text_col, ngram, id_col)
-    base = sh.select(
-        id_col, F.pmod(portable_hash60(F.col("shingle")), F.lit(HASH_P)).alias("hm")
+    base_hash = (
+        fast_hash60(F.col("shingle")) if fast
+        else portable_hash60(F.col("shingle"))
     )
+    base = sh.select(id_col, F.pmod(base_hash, F.lit(HASH_P)).alias("hm"))
     hashed = base.select(
         id_col,
         *[_affine_k(F.col("hm"), k).alias(f"h{k}") for k in range(n_hashes)],
@@ -116,47 +138,49 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     ngram: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, hash each band, self-join
     docs sharing any (band, band_hash) bucket. Returns (doc_a, doc_b,
-    n_shared_bands) with doc_a < doc_b."""
+    n_shared_bands) with doc_a < doc_b.
+
+    ``fast=True`` uses xxhash64 for both the shingle base hash and the
+    band hash (see minhash_signatures): same recall statistics, no
+    oracle twin, markedly cheaper per-shingle on the production path."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, text_col, id_col, n_hashes, ngram)
+    sig = minhash_signatures(docs, text_col, id_col, n_hashes, ngram, fast)
+
+    def band_key(b):
+        payload = F.concat(
+            F.lit("b|"),
+            b.cast("string"),
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.col("signature"), b * rows_per_band + 1,
+                        rows_per_band,
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            ),
+        )
+        if fast:
+            return F.xxhash64(payload)
+        # portable band hash: md5 of "b|<band>|v1,v2,..." —
+        # reproducible in the DuckDB oracle
+        return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast(
+            "long"
+        )
+
     bands = sig.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    # portable band hash: md5 of "b|<band>|v1,v2,..." —
-                    # reproducible in the DuckDB oracle
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit("b|"),
-                                    b.cast("string"),
-                                    F.lit("|"),
-                                    F.array_join(
-                                        F.transform(
-                                            F.slice(
-                                                F.col("signature"),
-                                                b * rows_per_band + 1,
-                                                rows_per_band,
-                                            ),
-                                            lambda v: v.cast("string"),
-                                        ),
-                                        ",",
-                                    ),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long").alias("band_hash"),
+                    b.alias("band"), band_key(b).alias("band_hash")
                 ),
             )
         ).alias("bb"),

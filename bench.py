@@ -46,6 +46,10 @@ PARITY_QUERIES = [
     "range_join_windows",         # comparable across rounds)
     "kmv_distinct_users",         # NEW r5: sketch family
     "cms_token_counts",           # NEW r5
+    "q8_market_share",            # NEW r5: widest join tree (8 relations)
+    "quantize_embeddings",        # NEW r5: map-only int8 quantization
+    "unigram_logprob_quality",    # NEW r5: vocab-join LM scoring
+    "source_overlap_matrix",      # NEW r5: shingle-keyed self-join
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs

@@ -934,3 +934,22 @@ def test_unigram_logprob_tails(spark):
     # doc 2 contains a singleton token -> strictly higher surprise
     assert rows[2]["mean_nll"] > rows[1]["mean_nll"]
     assert rows[1]["n_tok"] == 4 and rows[2]["n_tok"] == 4
+
+
+# ------------------------------------------- minhash fast mode (round 5)
+def test_minhash_fast_mode_finds_planted_near_dups(spark):
+    """fast=True (xxhash64 family) must find the same planted near-dup
+    and reject the same non-dup as the md5 oracle-parity mode, and its
+    plan must contain no md5 (the hex round trip is the cost driver)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different content about spark query engines at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, n_hashes=32, n_bands=16, fast=True)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan and "xxhash64" in plan, plan[:2000]
