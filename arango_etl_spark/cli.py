@@ -209,6 +209,7 @@ def cmd_current(spark, args) -> None:
             rollup_root=args.rollup_table,
             rollup_group_col=args.rollup_group_col,
             rollup_measure_col=args.rollup_measure_col,
+            source_format=args.source_format,
         ),
         event_schema=schema,
         available_now=args.drain,
@@ -314,6 +315,10 @@ def main() -> None:
     c.add_argument("--drain", action="store_true",
                    help="availableNow: drain backlog then stop (replay mode)")
     c.add_argument("--max-files-per-trigger", type=int, default=8)
+    c.add_argument("--source-format", default="parquet",
+                   choices=["parquet", "debezium"],
+                   help="feed encoding: native parquet change events, or "
+                        "JSON-lines Debezium envelopes")
     c.add_argument("--trigger-interval", type=int, default=10,
                    help="continuous-mode micro-batch cadence (seconds)")
     c.add_argument("--max-retries", type=int, default=3,

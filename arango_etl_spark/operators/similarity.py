@@ -524,9 +524,12 @@ def quantize_embeddings(
             F.lit(1e-30),
         ),
     )
+    # q_scale is the RAW double — display-rounding it would collapse
+    # tiny-magnitude vectors' scales to 0 and break dequantization
+    # (hypothesis-found, test_quantize_roundtrip_bound)
     return with_scale.select(
         F.col(id_col),
-        F.round(F.col("_scale"), 9).alias("q_scale"),
+        F.col("_scale").alias("q_scale"),
         F.transform(
             F.col("_vd"), lambda x: F.round(x / F.col("_scale")).cast("int")
         ).alias("qvec"),

@@ -3487,7 +3487,7 @@ WITH v AS (
     FROM v
 )
 SELECT vec_id,
-       round(sc, 9) AS q_scale,
+       sc AS q_scale,
        list_transform(vd, x -> CAST(round(x / sc) AS INTEGER)) AS qvec
 FROM s
 """

@@ -80,6 +80,11 @@ class IngestConfig:
     rollup_root: str | None = None
     rollup_group_col: str = "source"
     rollup_measure_col: str = "n_tok"
+    # feed encoding: "parquet" (native change-event files) or "debezium"
+    # (JSON-lines Debezium envelopes, payload-wrapped or flat — mapped
+    # through sources.readers.debezium_to_events before the merge; same
+    # fence/lineage/rollup semantics downstream)
+    source_format: str = "parquet"
 
 
 def run_ingest(
@@ -121,12 +126,30 @@ def run_ingest(
     # NOTE: .schema(schema) PINS the read schema — evolved columns in later
     # files are only picked up when the caller passes a widened
     # event_schema (the superset-schema pattern; CLI: --extra-columns).
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-        .option("recursiveFileLookup", "true")
-        .parquet(events_dir)
-    )
+    if cfg.source_format == "debezium":
+        from arango_etl_spark.sources.readers import (
+            debezium_envelope_schema,
+            debezium_to_events,
+        )
+
+        value_schema = T.StructType(
+            [f for f in schema.fields
+             if f.name not in ("op", "seq_no", "batch_id", "event_ts")]
+        )
+        stream = (
+            spark.readStream.schema(debezium_envelope_schema(value_schema))
+            .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+            .json(events_dir)
+            .transform(lambda df: debezium_to_events(df, value_schema))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+            .parquet(events_dir)
+        )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.monotonic()
@@ -150,6 +173,14 @@ def run_ingest(
                 raise RuntimeError(f"injected failure at epoch {epoch_id}")
             if batch_df.isEmpty():  # early-exit on empty (SURVEY.md F9)
                 return
+            # sources without a feed-side batch_id (Debezium envelopes)
+            # get the epoch stamped in: batch_id is an LWW tie-break
+            # column and a provenance field — never leave it null
+            if "batch_id" in batch_df.columns:
+                batch_df = batch_df.withColumn(
+                    "batch_id",
+                    F.coalesce(F.col("batch_id"), F.lit(int(epoch_id))),
+                )
             if lineage is not None:
                 batch_df = batch_df.persist()
                 persisted = True

@@ -238,3 +238,47 @@ def test_range_join_equals_naive_inequality_join(spark, case):
         if a <= s < b
     }
     assert got == naive
+
+
+# ------------------------------------------------------------ quantization
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_roundtrip_bound(spark, vecs):
+    """Any float32 vector (negatives, zeros, tiny/huge magnitudes):
+    components land in [-127, 127] and dequantization error per
+    component is <= scale/2 (the half-step bound of round-to-nearest)."""
+    from arango_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    import numpy as np
+
+    for i, v in rows:
+        q = got[i]
+        v32 = [float(np.float32(x)) for x in v]
+        assert all(-127 <= c <= 127 for c in q["qvec"]), q
+        sc = q["q_scale"]
+        assert sc > 0
+        for qc, vc in zip(q["qvec"], v32):
+            assert abs(qc * sc - vc) <= sc / 2 * (1 + 1e-12)

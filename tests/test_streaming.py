@@ -435,3 +435,45 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert got == expected
+
+
+def test_debezium_feed_through_run_ingest(spark, tmp_path):
+    """source_format="debezium": envelope JSON feed → columnar mapping →
+    fenced MERGE per epoch; LWW resolves by lsn, deletes tombstone, and
+    a rerun from the same checkpoint is a no-op."""
+    import json
+    import os
+
+    feed = str(tmp_path / "dbz_feed")
+    os.makedirs(feed)
+
+    def env(op, after=None, before=None, lsn=0, ts_ms=0):
+        return json.dumps({"payload": {
+            "op": op, "after": after, "before": before, "ts_ms": ts_ms,
+            "source": {"name": "pg", "lsn": lsn, "txId": None}}})
+
+    def row(doc, toks):
+        return {"doc_id": doc, "tokens": toks, "n_tok": len(toks),
+                "source": "s"}
+
+    # two files → two epochs under maxFilesPerTrigger=1: the delete for
+    # "b" and the update for "a" arrive in the SECOND epoch
+    with open(f"{feed}/f1.json", "w") as fh:
+        fh.write(env("r", after=row("a", [1]), lsn=1, ts_ms=1000) + "\n")
+        fh.write(env("c", after=row("b", [2]), lsn=2, ts_ms=2000) + "\n")
+    with open(f"{feed}/f2.json", "w") as fh:
+        fh.write(env("u", after=row("a", [1, 5]), before=row("a", [1]),
+                     lsn=3, ts_ms=3000) + "\n")
+        fh.write(env("d", before=row("b", [2]), lsn=4, ts_ms=4000) + "\n")
+
+    t = mk_table(tmp_path, "t_dbz_stream")
+    ckpt = str(tmp_path / "ckpt_dbz")
+    cfg = IngestConfig(max_files_per_trigger=1, source_format="debezium")
+    run_ingest(spark, feed, t, ckpt, cfg=cfg)
+    final = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert set(final) == {"a"}
+    assert final["a"]["tokens"] == [1, 5]
+    v1 = t.current_version()
+    # same checkpoint → no new data → no new commits
+    run_ingest(spark, feed, t, ckpt, cfg=cfg)
+    assert t.current_version() == v1
