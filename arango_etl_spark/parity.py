@@ -3575,6 +3575,308 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 67. q2_min_cost_supplier — TPC-H Q2 shape: the correlated MIN subquery
+# ("the supplier offering this part at the region's minimum price")
+# decorrelated into aggregate-then-equality-rejoin. (Adapted: no
+# partsupp — the offer relation is avg sale price per (part, supplier)
+# derived from lineitem; rounded to cents BEFORE the min/equality so
+# both engines compare identical values.)
+# --------------------------------------------------------------------------
+_Q2_SQL = """
+WITH offers AS (
+    SELECT l_partkey AS p_key, l_suppkey AS s_key,
+           round(avg(l_extendedprice), 2) AS offer_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), regional AS (
+    SELECT o.p_key, o.offer_price, s.s_name, s.s_acctbal, n.n_name
+    FROM offers o
+    JOIN supplier s ON s.s_suppkey  = o.s_key
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    JOIN region   r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+), best AS (
+    SELECT p_key, min(offer_price) AS min_price FROM regional GROUP BY p_key
+)
+SELECT p.p_partkey, p.p_name, reg.s_name, reg.n_name,
+       reg.offer_price AS min_price, reg.s_acctbal
+FROM regional reg
+JOIN best b ON b.p_key = reg.p_key AND reg.offer_price = b.min_price
+JOIN part p ON p.p_partkey = reg.p_key
+WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+"""
+
+
+@_register("q2_min_cost_supplier", _Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
+    ).agg(F.round(F.avg("l_extendedprice"), 2).alias("offer_price"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    regional = (
+        offers.join(F.broadcast(sup), F.col("s_key") == sup["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+        .select("p_key", "offer_price", "s_name", "s_acctbal", "n_name")
+    )
+    best = regional.groupBy("p_key").agg(
+        F.min("offer_price").alias("min_price")
+    ).withColumnRenamed("p_key", "b_key")
+    return (
+        regional.join(
+            best,
+            (F.col("p_key") == F.col("b_key"))
+            & (F.col("offer_price") == F.col("min_price")),
+        )
+        .join(F.broadcast(part), F.col("p_key") == part["p_partkey"])
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("offer_price").alias("min_price"), "s_acctbal",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 68. q9_product_type_profit — TPC-H Q9 shape: name-pattern part filter
+# through a 6-relation tree, profit per (supplier nation, order year).
+# (Adapted: no ps_supplycost — cost stand-in is 0.5 × p_retailprice ×
+# quantity, keeping the two-sided profit expression.)
+# --------------------------------------------------------------------------
+_Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount)
+             - 0.5 * p.p_retailprice * l.l_quantity AS amount
+    FROM lineitem l
+    JOIN part     p ON p.p_partkey   = l.l_partkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@_register("q9_product_type_profit", _Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 69. q11_important_stock — TPC-H Q11 shape: per-part value within one
+# nation, kept only when above a FRACTION of the nation's total (the
+# HAVING-against-global-scalar pattern). Values are computed in INTEGER
+# CENTS (bigint) so the fraction compare (value × 1000 > total) is
+# exact on both engines — no floating-point boundary flake by design.
+# --------------------------------------------------------------------------
+_Q11_SQL = """
+WITH stock AS (
+    SELECT l.l_partkey,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT)) AS value_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation   n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+    GROUP BY l.l_partkey
+), total AS (
+    SELECT sum(value_cents) AS tot FROM stock
+)
+SELECT l_partkey, value_cents
+FROM stock, total
+WHERE value_cents * 1000 > tot
+"""
+
+
+@_register("q11_important_stock", _Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    stock = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = stock.agg(F.sum("value_cents").alias("_tot"))
+    return (
+        stock.join(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("_tot"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# 70. q12_shipmode_priority — TPC-H Q12 shape: orders × lineitem join
+# with dual conditional counts per category. (Adapted: l_returnflag
+# stands in for l_shipmode — no shipmode/commitdate in testdata.)
+# --------------------------------------------------------------------------
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+"""
+
+
+@_register("q12_shipmode_priority", _Q12_SQL)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0))
+            .cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 71. q16_supplier_count — TPC-H Q16 shape: supplier diversity per part
+# attribute triple, with a NOT-IN supplier blacklist (anti-join) and a
+# COUNT DISTINCT. (Adapted: lineitem is the part↔supplier bridge — no
+# partsupp; the blacklist is negative-balance suppliers — no comment
+# column to pattern-match.)
+# --------------------------------------------------------------------------
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@_register("q16_supplier_count", _Q16_SQL)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(blacklist),
+            li["l_suppkey"] == blacklist["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 72. q20_excess_suppliers — TPC-H Q20 shape: the nested IN-subquery
+# chain (suppliers ⟵ heavy shipments ⟵ pattern-matched parts) as a
+# semi-join over an aggregate with HAVING. Quantity sums are
+# integer-valued doubles — exact in both engines, so the > 50 compare
+# is portable. (Adapted: "excess stock" = shipped more than 50 units
+# of one bolt part in 1996 — no partsupp availqty.)
+# --------------------------------------------------------------------------
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+    )
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > 50
+)
+"""
+
+
+@_register("q20_excess_suppliers", _Q20_SQL)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    bolt_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(
+            F.broadcast(bolt_parts),
+            li["l_partkey"] == bolt_parts["p_partkey"],
+            "leftsemi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(heavy, sup["s_suppkey"] == heavy["l_suppkey"], "leftsemi")
+        .select(
+            "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and
