@@ -353,3 +353,24 @@ def test_source_overlap_aggregates_before_join(spark):
     plan = explain.physical_plan(df)
     assert "partial" in plan.lower(), plan[:3000]
     assert "NestedLoop" not in plan, plan[:3000]
+
+
+def test_q20_nested_in_chain_is_semi_joins(spark):
+    """The nested IN chain (suppliers ⟵ heavy shipments ⟵ bolt parts)
+    must plan as LeftSemi joins over a partial-aggregated HAVING — no
+    correlated subquery execution, no nested loop."""
+    df = parity.q20_excess_suppliers(spark, SF)
+    plan = explain.physical_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "partial" in plan.lower()
+
+
+def test_q16_blacklist_anti_join_and_distinct_agg(spark):
+    """NOT IN (bounded blacklist) must broadcast as LeftAnti; the
+    count-distinct aggregates with a partial phase."""
+    df = parity.q16_supplier_count(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "partial" in plan.lower()
