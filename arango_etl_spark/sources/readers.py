@@ -41,15 +41,27 @@ class ReadResult:
     @property
     def corrupt_count(self) -> int:
         if self._count is None:
-            first_data_col = self._raw.columns[0]
+            data_cols = [
+                c for c in self._raw.columns if c != "_corrupt_record"
+            ]
             row = self._raw.agg(
                 F.count(
                     F.when(F.col("_corrupt_record").isNotNull(), 1)
                 ).alias("corrupt"),
-                # also reference a real data column: Spark forbids JSON/CSV
-                # scans whose only referenced column is the internal
-                # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
-                F.count(F.col(first_data_col)).alias("_seen_first_col"),
+                # reference EVERY data column, not just one: JSON/CSV
+                # corrupt-record detection is per-parsed-field, so a
+                # column-pruned scan misses field-level TYPE CONFLICTS
+                # (the row parses fine when the conflicting column is
+                # pruned away) and silently undercounts vs the rows
+                # quarantine() actually parks (round-5 test-found). One
+                # count() PER column — count(struct(...)) would fold to
+                # count(*) and drop the references; nullable per-column
+                # counts survive the optimizer and keep the full parse,
+                # which also satisfies QUERY_ONLY_CORRUPT_RECORD_COLUMN.
+                *[
+                    F.count(F.col(c)).alias(f"_seen_{i}")
+                    for i, c in enumerate(data_cols)
+                ],
             ).first()
             self._count = int(row["corrupt"])
         return self._count
@@ -86,15 +98,24 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
 def _split(raw: DataFrame) -> DataFrame:
     """Return the clean stream (corrupt rows filtered out).
 
-    The observe() node is a SCAN GUARD, not a consumed metric: a bare
-    count() over the filtered stream would prune every column except
-    `_corrupt_record`, which Spark rejects for JSON/CSV scans
-    (QUERY_ONLY_CORRUPT_RECORD_COLUMN). The named metric references the
-    first data column, keeping it in the scan; nobody reads the value."""
-    first_data_col = raw.columns[0]
+    The observe() node is a SCAN GUARD, not a consumed metric: it
+    references EVERY data column so the corrupt filter sees the same
+    per-field parse as a full read. Corrupt-record detection is
+    per-parsed-field — under column pruning a row with a TYPE CONFLICT
+    in a pruned-away column parses "clean", so without the guard the
+    event SET would depend on which columns the consumer selects
+    (count() vs collect() disagreeing on membership). The guard also
+    satisfies Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction;
+    nobody reads the metric value."""
+    data_cols = [c for c in raw.columns if c != "_corrupt_record"]
+    # one count() per column — count(struct(...)) folds to count(*) and
+    # the optimizer drops the references (see corrupt_count)
     guarded = raw.observe(
         "corrupt_scan_guard",
-        F.count(F.col(first_data_col)).alias("_seen_first_col"),
+        *[
+            F.count(F.col(c)).alias(f"_seen_{i}")
+            for i, c in enumerate(data_cols)
+        ],
     )
     return guarded.where(
         F.col("_corrupt_record").isNull()
@@ -286,3 +307,67 @@ def read_events_debezium(
         ),
     )
     return ReadResult(events=events, raw=raw_flagged)
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    dlq_path: str,
+    schema: T.StructType | None = None,
+    envelope: bool = False,
+) -> ReadResult:
+    """Re-attempt quarantined records after the producer bug is fixed:
+    parse each parked ``_corrupt_record`` line with ``schema`` (pass the
+    WIDENED schema when the poison was a schema gap, the default when
+    the producer re-sent corrected payloads). Returns a ReadResult whose
+    ``events`` are the now-parsable records mapped exactly like the live
+    path (including the Debezium projection when ``envelope=True``) and
+    whose corrupt channel holds the still-bad remainder — chain another
+    ``quarantine()`` call to re-park those, so the DLQ drains
+    monotonically across replay attempts.
+
+    Scale: the DLQ is a plain parquet table, so replay is one scan +
+    from_json — no driver-side loops; idempotence downstream comes from
+    the same LWW/fence semantics as the live feed."""
+    parked = spark.read.parquet(dlq_path)
+    if envelope:
+        value_schema = schema or T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                T.StructField("n_tok", T.IntegerType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        parse_schema = debezium_envelope_schema(value_schema)
+    else:
+        parse_schema = schema or EVENT_SCHEMA
+    reparsed = parked.select(
+        F.col("_corrupt_record").alias("_raw"),
+        F.from_json(F.col("_corrupt_record"), parse_schema).alias("_p"),
+    )
+    # from_json yields an all-null struct for unparsable lines; a line
+    # whose every field is null is indistinguishable from bad — treat it
+    # as still-bad (real events always carry at least one field)
+    any_field = F.coalesce(
+        *[
+            F.col(f"_p.{f.name}").cast("string")
+            for f in parse_schema.fields
+        ]
+    )
+    is_good = F.col("_p").isNotNull() & any_field.isNotNull()
+    if envelope:
+        # an unknown-op envelope parses fine but carries no usable
+        # change — keep it in the bad channel (the live path DLQs it),
+        # else it would silently vanish between events and still_bad
+        is_good = is_good & F.coalesce(
+            F.col("_p.payload.op"), F.col("_p.op")
+        ).isin(*_DBZ_OPS.keys())
+    good_rows = reparsed.where(is_good)
+    still_bad = reparsed.where(~is_good | is_good.isNull()).select(
+        F.lit(None).cast("string").alias("_placeholder"),
+        F.col("_raw").alias("_corrupt_record"),
+    )
+    events = good_rows.select("_p.*")
+    if envelope:
+        events = debezium_to_events(events, value_schema)
+    return ReadResult(events=events, raw=still_bad)

@@ -242,3 +242,74 @@ def test_debezium_projection_works_on_streams(spark, tmp_path):
     rows = spark.sql("SELECT * FROM dbz_mem").collect()
     assert len(rows) == 1 and rows[0]["op"] == "insert"
     assert rows[0]["seq_no"] == 5 and rows[0]["doc_id"] == "z"
+
+
+def test_replay_quarantine_drains_dlq(spark, tmp_path):
+    """DLQ replay: after the producer fix (here: a widened schema), the
+    recoverable records parse and rejoin the pipeline; garbage stays in
+    the corrupt channel and can be re-parked — the DLQ drains
+    monotonically."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.sources.readers import (
+        read_events_json,
+        replay_quarantine,
+    )
+
+    events = generate_events(spark, GeneratorConfig(
+        n_events=50, n_docs=10, n_batches=1, seed=7))
+    p = str(tmp_path / "ev_json")
+    events.coalesce(1).write.json(p)
+    f = glob.glob(f"{p}/part-*.json")[0]
+    with open(f, "a") as fh:
+        # recoverable: tokens sent as a STRING (type conflict vs array<int>)
+        fh.write('{"op": "insert", "doc_id": "fix_me", "seq_no": 999, '
+                 '"tokens": "1,2,3", "n_tok": 3, "source": "s", '
+                 '"batch_id": 0, "event_ts": "2024-01-01T00:00:00Z"}\n')
+        fh.write("unfixable garbage\n")
+    for crc in glob.glob(f"{p}/.*.crc"):
+        os.unlink(crc)
+    res = read_events_json(spark, p)
+    dlq = str(tmp_path / "dlq")
+    assert res.quarantine(dlq) == 2
+
+    widened = T.StructType([
+        f if f.name != "tokens" else T.StructField("tokens", T.StringType())
+        for f in EVENT_SCHEMA.fields
+    ])
+    replay = replay_quarantine(spark, dlq, schema=widened)
+    got = replay.events.collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "fix_me"
+    assert got[0]["tokens"] == "1,2,3"   # caller maps the widened column
+    assert replay.corrupt_count == 1     # garbage is still bad
+    dlq2 = str(tmp_path / "dlq2")
+    assert replay.quarantine(dlq2) == 1  # re-parked: DLQ drains monotonically
+
+
+def test_replay_quarantine_envelope_unknown_op_stays_bad(spark, tmp_path):
+    """Envelope replay: a parseable-but-unknown-op record must stay in
+    the bad channel (the live path DLQs it) — never silently vanish."""
+    import json
+    import os
+
+    from arango_etl_spark.sources.readers import replay_quarantine
+
+    dlq = str(tmp_path / "dlq_env")
+    rows = [
+        (json.dumps({"payload": {
+            "op": "x", "after": {"doc_id": "a", "tokens": [1], "n_tok": 1,
+                                 "source": "s"}, "before": None,
+            "ts_ms": 1, "source": {"name": "pg", "lsn": 1, "txId": None}}}),),
+        (json.dumps({"payload": {
+            "op": "c", "after": {"doc_id": "b", "tokens": [2], "n_tok": 1,
+                                 "source": "s"}, "before": None,
+            "ts_ms": 2, "source": {"name": "pg", "lsn": 2, "txId": None}}}),),
+    ]
+    spark.createDataFrame(rows, "_corrupt_record string").write.parquet(dlq)
+    replay = replay_quarantine(spark, dlq, envelope=True)
+    got = replay.events.collect()
+    assert len(got) == 1 and got[0]["doc_id"] == "b"
+    assert replay.corrupt_count == 1     # the op="x" record
