@@ -123,7 +123,14 @@ def apply_changes(
     collect_metrics: bool = True,
     extra_summary: dict | None = None,
     min_seq_exclusive: int | None = None,
+    branch: str | None = None,
 ) -> MergeResult:
+    """``branch``: Write-Audit-Publish mode — the merge stages onto the
+    named table branch instead of committing to the main line; audit the
+    result with ``table.read_branch`` and then ``publish_branch`` /
+    ``abandon_branch`` (see plans/wap.write_audit_publish for the wired
+    flow). Compaction never runs on a branch (it belongs to the main
+    line the branch may never join)."""
     manifest = table.manifest()
     key_col = manifest["key_col"]
 
@@ -230,6 +237,29 @@ def apply_changes(
         summary["lineage.keys_applied"] = int(metrics.get("keys_applied") or 0)
         if metrics.get("max_seq_no") is not None:
             summary["lineage.max_seq_no"] = int(metrics["max_seq_no"])
+
+    if branch is not None:
+        new_manifest = table.stage_branch(
+            branch,
+            new_files=new_files,
+            replaced_buckets=replaced,
+            summary=summary,
+            new_payload_schema=evolved_schema,
+            mode="append" if strategy == "mor" else "merge",
+            expected_version=manifest["version"],
+        )
+        return MergeResult(
+            version=new_manifest["version"],
+            keys_applied=(
+                int(metrics.get("keys_applied") or 0) if metrics else None
+            ),
+            max_seq_no=(
+                int(metrics["max_seq_no"])
+                if metrics and metrics.get("max_seq_no") is not None
+                else None
+            ),
+            new_columns=new_cols,
+        )
 
     new_manifest = table.commit(
         new_files=new_files,

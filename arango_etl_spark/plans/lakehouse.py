@@ -451,6 +451,36 @@ class SnapshotTable:
         cur_v = self.current_version()
         if expected_version is not None and cur_v != expected_version:
             raise CommitConflict(f"expected v{expected_version}, found v{cur_v}")
+        manifest = self._build_manifest(
+            cur_v,
+            new_files,
+            replaced_buckets,
+            summary,
+            new_payload_schema,
+            mode,
+            one_row_per_key,
+            new_n_buckets,
+            file_stats,
+        )
+        self._write_manifest(manifest)
+        return manifest
+
+    def _build_manifest(
+        self,
+        cur_v: int,
+        new_files: dict[str, list[str]],
+        replaced_buckets: set[int] | None,
+        summary: dict | None = None,
+        new_payload_schema: T.StructType | None = None,
+        mode: str = "merge",
+        one_row_per_key: bool | None = None,
+        new_n_buckets: int | None = None,
+        file_stats: dict | None = None,
+    ) -> dict:
+        """Compute the child manifest of ``cur_v`` (shared by ``commit``
+        and ``stage_branch`` — the SAME file-carryover / schema-widening /
+        stats-lifecycle rules apply whether the result lands on the main
+        line or on an audit branch)."""
         parent = self.manifest(cur_v)
         files: dict[str, list[str]] = {}
         if replaced_buckets is not None:
@@ -491,7 +521,6 @@ class SnapshotTable:
             stats.update({r: s for r, s in file_stats.items() if r in kept})
         if stats:
             manifest["file_stats"] = stats
-        self._write_manifest(manifest)
         return manifest
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -510,6 +539,224 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, os.path.join(self.meta_dir, "_current"))
+
+    # ------------------------------------------------- branches (WAP)
+    def _branch_path(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self.meta_dir, f"branch-{name}.json")
+
+    def stage_branch(
+        self,
+        name: str,
+        new_files: dict[str, list[str]],
+        replaced_buckets: set[int] | None,
+        summary: dict | None = None,
+        new_payload_schema: T.StructType | None = None,
+        mode: str = "merge",
+        one_row_per_key: bool | None = None,
+        expected_version: int | None = None,
+    ) -> dict:
+        """Write-Audit-Publish step 1 (Iceberg's WAP / branch commit):
+        build the child manifest exactly as :meth:`commit` would, but park
+        it at ``meta/branch-{name}.json`` — invisible to ``_current``
+        readers. Step 2 audits via :meth:`read_branch`; step 3 is
+        :meth:`publish_branch` (atomic cherry-pick onto the main line) or
+        :meth:`abandon_branch` (drop manifest + staged files). The branch
+        records its base version, so publish conflict-detects against
+        concurrent main-line commits exactly like the catalog CAS."""
+        cur_v = self.current_version()
+        if expected_version is not None and cur_v != expected_version:
+            raise CommitConflict(f"expected v{expected_version}, found v{cur_v}")
+        manifest = self._build_manifest(
+            cur_v,
+            new_files,
+            replaced_buckets,
+            summary,
+            new_payload_schema,
+            mode,
+            one_row_per_key,
+        )
+        manifest["branch"] = name
+        # staged (never-yet-referenced) files: exactly what abandon may
+        # delete — files carried over from the parent are NOT in new_files
+        manifest["staged_files"] = sorted(
+            {rel for fs in new_files.values() for rel in fs}
+        )
+        path = self._branch_path(name)
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f, indent=1)
+        except Exception:
+            os.unlink(path)
+            raise
+        return manifest
+
+    def branch_manifest(self, name: str) -> dict:
+        with open(self._branch_path(name)) as f:
+            return json.load(f)
+
+    def read_branch(self, spark: SparkSession, name: str) -> DataFrame:
+        """Audit read: the table state AS IF the branch were published
+        (same LWW-resolve + tombstone semantics as :meth:`read`)."""
+        return self.read(spark, manifest=self.branch_manifest(name))
+
+    def publish_branch(self, name: str) -> dict:
+        """Atomic cherry-pick: promote the branch manifest to the next
+        main-line version. CAS: fails with :class:`CommitConflict` if the
+        main line advanced past the branch's base version (the staged
+        file layout was computed against that snapshot — the caller
+        re-stages against the new current, as with any catalog retry)."""
+        m = self.branch_manifest(name)
+        cur_v = self.current_version()
+        if cur_v != m["parent"]:
+            raise CommitConflict(
+                f"branch {name!r} based on v{m['parent']}, current is "
+                f"v{cur_v} — re-stage against the new snapshot"
+            )
+        published = {
+            k: v for k, v in m.items() if k not in ("branch", "staged_files")
+        }
+        self._write_manifest(published)
+        os.unlink(self._branch_path(name))
+        return published
+
+    def abandon_branch(self, name: str, delete_files: bool = True) -> dict:
+        """Audit failed: drop the branch manifest and (default) its
+        staged-but-never-published data files — only files first
+        referenced BY this branch are deleted (parent-carryover files are
+        never in ``staged_files``), so main-line readers are unaffected.
+        With ``delete_files=False`` the staged files are left for
+        :meth:`remove_orphan_files` to collect after the grace window."""
+        m = self.branch_manifest(name)
+        removed = 0
+        if delete_files:
+            for rel in m.get("staged_files", []):
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.unlink(p)
+                    removed += 1
+        os.unlink(self._branch_path(name))
+        return {"abandoned": name, "removed_files": removed}
+
+    # --------------------------------------------------------- rollback
+    def rollback(self, to_version: int) -> dict:
+        """RESTORE (Delta-style): commit a NEW version whose file set,
+        schema, bucket layout and summary equal ``to_version``'s —
+        history stays linear and append-only (no manifest is rewritten),
+        so concurrent readers and the CAS protocol are untouched, and
+        ``expire_snapshots`` keeps the restored files live because the
+        new current references them.
+
+        The restored SUMMARY matters for CDC correctness: fences ride in
+        the summary, so restoring v_target's fences re-opens exactly the
+        batches whose effects were rolled back — the stream re-applies
+        them instead of silently skipping (an idempotence hole if the
+        current fences survived the rollback)."""
+        cur_v = self.current_version()
+        target = self.manifest(to_version)
+        manifest = {
+            "version": cur_v + 1,
+            "parent": cur_v,
+            "key_col": target["key_col"],
+            "n_buckets": target["n_buckets"],
+            "schema": target["schema"],
+            "files": {b: list(fs) for b, fs in target["files"].items()},
+            "summary": {
+                **target["summary"],
+                "rollback_of": cur_v,
+                "rollback_to": to_version,
+            },
+            "mode": "rollback",
+            "one_row_per_key": target.get(
+                "one_row_per_key", to_version == 0
+            ),
+        }
+        if target.get("file_stats"):
+            manifest["file_stats"] = dict(target["file_stats"])
+        self._write_manifest(manifest)
+        return manifest
+
+    # -------------------------------------------------- change data feed
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        include_before: bool = False,
+    ) -> DataFrame:
+        """Change-data-feed read BETWEEN two committed snapshots (the
+        Iceberg/Delta CDF analogue): one row per key whose VISIBLE state
+        differs, with ``_change_type`` ∈ insert/update/delete and the
+        after-image payload (null for deletes; ``include_before=True``
+        adds a ``_before`` struct). Downstream consumers chain
+        incrementally: maintain state as of version X, then apply
+        ``read_changes(X)`` to reach current — CDC out of the sink, not
+        just into it.
+
+        Scale shape: buckets whose manifest file lists are IDENTICAL in
+        both versions cannot differ — the diff scans only changed
+        buckets (under steady MoR ingest that's the recently-touched
+        slice, not the table). Bucket pruning is skipped across a
+        rebucket (bucket ids aren't comparable) and after compaction it
+        degrades to a full diff (files rewritten, state equal → empty
+        output), never to a wrong answer. Both sides read with the TO
+        version's widened schema, so additive evolution diffs as
+        null → value updates. The diff itself is one full-outer hash
+        join on the key over LWW-resolved state (skew-safe max_by, no
+        windows)."""
+        m_from = self.manifest(from_version)
+        m_to = self.manifest(to_version)
+        key_col = m_to["key_col"]
+        to_schema = m_to["schema"]
+        buckets: list[int] | None = None
+        if m_from["n_buckets"] == m_to["n_buckets"]:
+            buckets = sorted(
+                int(b)
+                for b in set(m_from["files"]) | set(m_to["files"])
+                if m_from["files"].get(b) != m_to["files"].get(b)
+            )
+
+        def _visible(m: dict) -> DataFrame:
+            aligned = {**m, "schema": to_schema}
+            stored = self.read_stored(spark, buckets=buckets, manifest=aligned)
+            if m.get("one_row_per_key", False):
+                resolved = stored
+            else:
+                resolved = lww_resolve(stored, key_col)
+            return resolved.where(~F.col("_deleted")).drop(*META_NAMES)
+
+        old_state, new_state = _visible(m_from), _visible(m_to)
+        payload = [c for c in new_state.columns if c != key_col]
+        o = old_state.select(
+            F.col(key_col).alias("_k"),
+            F.struct(*[F.col(c) for c in payload]).alias("_old"),
+        )
+        n = new_state.select(
+            F.col(key_col).alias("_k"),
+            F.struct(*[F.col(c) for c in payload]).alias("_new"),
+        )
+        joined = o.join(n, "_k", "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        )
+        out = (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+        )
+        cols = [
+            F.col("_k").alias(key_col),
+            F.col("_change_type"),
+            *[F.col("_new").getField(c).alias(c) for c in payload],
+        ]
+        if include_before:
+            cols.append(F.col("_old").alias("_before"))
+        return out.select(*cols)
 
     # ------------------------------------------------------------- fence
     def last_batch_id(self, stream_id: str) -> int | None:
@@ -584,8 +831,13 @@ class SnapshotTable:
 
         referenced: set[str] = set()
         for f in os.listdir(self.meta_dir):
-            if f.startswith("v") and f.endswith(".json"):
-                m = self.manifest(int(f[1:-5]))
+            # parked branch manifests (WAP audits in flight) count as
+            # references: their staged files are pre-publish, not orphans
+            if f.endswith(".json") and (
+                f.startswith("v") or f.startswith("branch-")
+            ):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    m = json.load(fh)
                 for fs in m["files"].values():
                     referenced.update(fs)
         cutoff = _time.time() - older_than_secs
