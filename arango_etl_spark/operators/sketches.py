@@ -145,6 +145,125 @@ def kmv_distinct_count(
     return kmv_estimate(kmv_sketch(df, value_col, group_cols, k), k)
 
 
+# -------------------------------------------------------------- hyperloglog
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constants (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+_HLL_RHO_CAP = 40  # exact-integer register sum: sum 2^(40-rho) < 2^46 per
+#                    group at p<=8 — int64-exact, so the scaled sum (and
+#                    therefore the estimate) is BIT-IDENTICAL across
+#                    engines regardless of float summation order. Items
+#                    with true rho > 40 (prob 2^-40 each) clamp the same
+#                    way on both sides.
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 5,
+) -> DataFrame:
+    """HyperLogLog registers per group as a LONG table (group, bucket,
+    rho) — at most m = 2^p rows per group, mergeable by max.
+
+    Portable register math on the 60-bit md5 hash: bucket = low p bits,
+    rho = 1 + leading zeros of the remaining (60-p)-bit word. The
+    leading-zero count uses ``length(bin(w))`` — binary-string length
+    with no leading zeros, identical in Spark and DuckDB — so the
+    registers (and everything derived from them) are engine-exact, unlike
+    ``approx_count_distinct``'s private HLL++ (the reason this exists;
+    see module docstring). The aggregation shuffles at most m rows per
+    group with map-side partial max — sketch-bounded, like the others."""
+    group_cols = group_cols or []
+    m = 1 << p
+    h = portable_hash60(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge HLL register tables built with the SAME p: register-wise
+    max. Lossless — the merged sketch equals the sketch of the
+    concatenated inputs (what makes HLL the canonical cross-partition /
+    cross-day distinct-count statistic)."""
+    group_cols = group_cols or []
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 5,
+    est_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Estimate from an HLL register table: raw harmonic-mean estimate
+    with linear-counting small-range correction (E <= 2.5m with empty
+    registers). Emits the exact-integer evidence columns alongside the
+    estimate — ``v_zero`` (empty registers) and ``reg_sum``
+    (sum 2^(CAP-rho) scaled by 2^CAP, int64-exact) — so a parity oracle
+    anchors on integers and the one double division/ln is IEEE-identical
+    across engines. No large-range correction: at 60 hash bits it only
+    matters beyond ~2^50 distinct values."""
+    group_cols = group_cols or []
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    # single double literal, repr-round-trip exact in both engines
+    numerator = alpha * m * m * float(1 << _HLL_RHO_CAP)
+    term = F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - least(rho, {_HLL_RHO_CAP}))")
+    agg = registers.groupBy(*group_cols).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("int").alias("v_zero"),
+        (
+            F.sum(term)
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_RHO_CAP)
+        ).cast("long").alias("reg_sum"),
+    )
+    raw = F.lit(numerator) / F.col("reg_sum")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "v_zero", "reg_sum", F.round(est, 2).alias(est_col)
+    )
+
+
+def hll_distinct_count(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 5,
+) -> DataFrame:
+    """One-shot: sketch + estimate. Returns group_cols + (v_zero,
+    reg_sum, n_distinct_est). Relative error ~ 1.04/sqrt(m)."""
+    return hll_estimate(
+        hll_sketch(df, value_col, group_cols, p), group_cols, p
+    )
+
+
 # ---------------------------------------------------------------- count-min
 def cms_build(
     df: DataFrame,

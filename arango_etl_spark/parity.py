@@ -3646,13 +3646,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # through a 6-relation tree, profit per (supplier nation, order year).
 # (Adapted: no ps_supplycost — cost stand-in is 0.5 × p_retailprice ×
 # quantity, keeping the two-sided profit expression.)
+# Profit is accumulated in EXACT INT64 units of 1e-4 dollars —
+# ext_cents×(100−disc_pct) − 50×rp_cents×qty — because a double sum of
+# this many signed products is summation-order-sensitive: at sf0.1 the
+# Spark partial-agg order vs DuckDB's single-threaded order drifted past
+# the 2-dp rounding boundary (caught by the cross-scale sweep). Same
+# integer-exactness design as q11. The one double op (÷1e4, round) runs
+# on identical integers on both engines.
 # --------------------------------------------------------------------------
 _Q9_SQL = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, round(sum(amount_e4) / 10000.0, 2) AS sum_profit
 FROM (
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           l.l_extendedprice * (1 - l.l_discount)
-             - 0.5 * p.p_retailprice * l.l_quantity AS amount
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * CAST(100 - round(l.l_discount * 100) AS BIGINT)
+             - 50 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT) AS amount_e4
     FROM lineitem l
     JOIN part     p ON p.p_partkey   = l.l_partkey
     JOIN supplier s ON s.s_suppkey   = l.l_suppkey
@@ -3671,9 +3680,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    amount = (
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    # exact int64 units of 1e-4 dollars (see _Q9_SQL note); summed as
+    # decimal(38,0) so the partial aggregate can never overflow at scale
+    amount_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        - F.lit(50)
+        * F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.col("l_quantity").cast("long")
     )
     return (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -3684,7 +3698,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(
+                F.sum(amount_e4.cast("decimal(38,0)")) / F.lit(10000.0), 2
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -3877,6 +3895,174 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 91. hll_distinct_users — deterministic HyperLogLog cardinality sketch
+# (operators/sketches.py): per event_type, m=32 registers over the
+# portable 60-bit md5 hash. The oracle reproduces the REGISTER MATH —
+# bucket = low 5 bits, rho = 1 + leading zeros via length(bin(w)) (both
+# engines strip leading zeros), register sum as EXACT int64
+# (2^(40-rho) terms) — so v_zero and reg_sum hash-match as integers and
+# the single double division / ln is IEEE-identical. Third sketch
+# family next to KMV (order statistics) and count-min (frequency):
+# HLL is the mergeable fixed-size register form (5 KB at p=12 covers
+# 1e9 distinct — the shape object-store table stats actually use).
+# --------------------------------------------------------------------------
+_HLL_SQL = """
+WITH h AS (
+    SELECT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          AS hv
+    FROM events
+), rho AS (
+    SELECT event_type, hv & 31 AS bucket,
+           CASE WHEN (hv >> 5) = 0 THEN 56
+                ELSE 56 - length(bin(hv >> 5)) END AS r
+    FROM h
+), regs AS (
+    SELECT event_type, bucket, max(r) AS mj
+    FROM rho GROUP BY event_type, bucket
+), agg AS (
+    SELECT event_type,
+           CAST(32 - count(*) AS INTEGER) AS v_zero,
+           CAST(sum(CAST(1 AS BIGINT) << (40 - least(mj, 40)))
+                + (32 - count(*)) * (CAST(1 AS BIGINT) << 40)
+                AS BIGINT) AS reg_sum
+    FROM regs GROUP BY event_type
+)
+SELECT event_type, v_zero, reg_sum,
+       round(CASE WHEN 784752235069308.9 / reg_sum <= 80.0 AND v_zero > 0
+                  THEN 32.0 * ln(32.0 / v_zero)
+                  ELSE 784752235069308.9 / reg_sum END, 2) AS n_distinct_est
+FROM agg
+"""
+
+
+@_register("hll_distinct_users", _HLL_SQL)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.sketches import hll_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct_count(ev, "user_id", ["event_type"], p=5)
+
+
+# --------------------------------------------------------------------------
+# 92. cdc_change_feed — the ENGINE's change-data-feed read under the
+# oracle gate: replay the deterministic 5-version feed in two phases
+# (batches k<=3, then k=4..5) through the real MoR merge path, then
+# SnapshotTable.read_changes between the two committed snapshots. The
+# oracle computes the same diff declaratively: LWW state at k<=3
+# full-outer-joined with final state → insert (re-appeared after a
+# phase-1 delete), update (payload changed), delete (phase-2 tombstone);
+# after-image columns from the final state (null for deletes). Every
+# change type is exercised at every sf by the (3d+k) % 11 delete rule.
+# --------------------------------------------------------------------------
+_CDC_CDF_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)       AS doc_id,
+        d.doc_id * 5 + t.k                        AS seq_no,
+        t.k                                       AS k,
+        CASE WHEN (d.doc_id * 3 + t.k) % 11 = 0
+             THEN 'delete' ELSE 'update' END      AS op,
+        {{tokens}} AS tokens,
+        {{n_tok}}  AS n_tok,
+        d.source                                  AS source
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+), r1 AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY seq_no DESC
+    ) AS rn FROM ev WHERE k <= 3
+), s1 AS (
+    SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+    FROM r1 WHERE rn = 1 AND op <> 'delete'
+), r2 AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY seq_no DESC
+    ) AS rn FROM ev
+), s2 AS (
+    SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+    FROM r2 WHERE rn = 1 AND op <> 'delete'
+)
+SELECT
+    coalesce(s2.doc_id, s1.doc_id) AS doc_id,
+    CASE WHEN s1.doc_id IS NULL THEN 'insert'
+         WHEN s2.doc_id IS NULL THEN 'delete'
+         WHEN s1.tokens_csv IS DISTINCT FROM s2.tokens_csv
+              OR s1.n_tok IS DISTINCT FROM s2.n_tok
+              OR s1.source IS DISTINCT FROM s2.source THEN 'update'
+    END AS change_type,
+    s2.tokens_csv, s2.n_tok, s2.source
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+WHERE (CASE WHEN s1.doc_id IS NULL THEN 'insert'
+            WHEN s2.doc_id IS NULL THEN 'delete'
+            WHEN s1.tokens_csv IS DISTINCT FROM s2.tokens_csv
+                 OR s1.n_tok IS DISTINCT FROM s2.n_tok
+                 OR s1.source IS DISTINCT FROM s2.source THEN 'update'
+       END) IS NOT NULL
+"""
+
+
+@_register(
+    "cdc_change_feed",
+    _CDC_CDF_SQL.format(
+        tokens=tokens_sql("d.doc_id", "d.doc_id*5 + t.k"),
+        n_tok=n_tok_sql("d.doc_id", "d.doc_id*5 + t.k"),
+    ),
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.operators.merge_into import apply_changes
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0, "delete"
+        ).otherwise(F.lit("update")).alias("op"),
+        tokens_expr(F.col("doc_id"), seq).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+        F.col("source"),
+        (F.col("k") - 1).cast("long").alias("batch_id"),
+        F.col("k").alias("k"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_ts"),
+    ).withColumnRenamed("doc_key", "doc_id")
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    table = SnapshotTable.create(
+        tempfile.mkdtemp(prefix="parity_cdf_") + "/t", payload, n_buckets=16
+    )
+    apply_changes(
+        spark, table, ev.where(F.col("k") <= 3).drop("k"),
+        strategy="mor", compact_every=0,
+    )
+    v_mid = table.current_version()
+    apply_changes(
+        spark, table, ev.where(F.col("k") > 3).drop("k"),
+        strategy="mor", compact_every=0,
+    )
+    return table.read_changes(spark, v_mid).select(
+        "doc_id",
+        F.col("_change_type").alias("change_type"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and
@@ -3919,9 +4105,11 @@ _GATE_ORDER = [
     "session_window_stats",
     "asof_join_views",
     "range_join_windows",
-    # CDC-derived views
+    # CDC-derived views (snapshot_diff_states is the declarative twin of
+    # cdc_change_feed — past 50; the gate keeps the version that exercises
+    # the ENGINE's read_changes path: MoR merge → manifest-pruned CDF)
     "scd2_history",
-    "snapshot_diff_states",
+    "cdc_change_feed",
     # dedup family (exact / MinHash-LSH / components / SimHash / Jaccard /
     # embedding)
     "exact_dedup_docs",

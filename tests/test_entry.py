@@ -62,7 +62,7 @@ def test_gate_order_covers_every_family_in_first_50():
     # plus the round-5 sketch family
     must_be_gated = {
         "q5_local_supplier_volume", "q18_large_volume_customers",
-        "scd2_history", "snapshot_diff_states", "session_window_stats",
+        "scd2_history", "cdc_change_feed", "session_window_stats",
         "vocab_topk", "value_histogram", "bigram_counts", "truncate_pad",
         "split_assignment", "length_quantiles", "redact_pii_docs",
         "contamination_check", "curated_training_set",

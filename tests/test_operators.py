@@ -889,6 +889,64 @@ def test_cms_never_underestimates_and_merges_linearly(spark):
     assert got == direct
 
 
+def test_hll_estimate_accuracy(spark):
+    """HLL at p=8 (m=256, ~6.5% stddev) must estimate 20k distinct values
+    within a generous 3-sigma band (20%)."""
+    from arango_etl_spark.operators import sketches
+
+    big = spark.range(0, 20_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid")
+    )
+    est = sketches.hll_distinct_count(big, "uid", p=8).collect()[0][
+        "n_distinct_est"
+    ]
+    assert abs(est - 20_000) / 20_000 < 0.20, est
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """With n << m, most registers stay empty and the estimator must take
+    the linear-counting branch — far more accurate than the raw harmonic
+    mean in that regime (within 15% at n=20, m=256)."""
+    from arango_etl_spark.operators import sketches
+
+    small = spark.range(0, 20).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uid")
+    )
+    row = sketches.hll_distinct_count(small, "uid", p=8).collect()[0]
+    assert row["v_zero"] > 0  # empty registers → linear-counting regime
+    assert abs(row["n_distinct_est"] - 20) / 20 < 0.15, row
+
+
+def test_hll_merge_is_lossless(spark):
+    """Register-wise max of per-shard sketches must equal the sketch of
+    the full data bit-for-bit — the mergeability that makes HLL the
+    per-file distinct-count statistic (daily sketches roll up monthly)."""
+    from arango_etl_spark.operators import sketches
+
+    full = spark.range(0, 5_000).select(
+        (F.col("id") % 4).alias("shard"),
+        F.concat(F.lit("u"), F.col("id")).alias("uid"),
+    )
+    direct = {
+        r["bucket"]: r["rho"]
+        for r in sketches.hll_sketch(full, "uid", p=6).collect()
+    }
+    per_shard = sketches.hll_sketch(full, "uid", ["shard"], p=6)
+    merged = {
+        r["bucket"]: r["rho"]
+        for r in sketches.hll_merge(per_shard, []).collect()
+    }
+    assert merged == direct
+    # merged estimate equals the direct estimate exactly (same registers)
+    est_direct = sketches.hll_estimate(
+        sketches.hll_sketch(full, "uid", p=6), p=6
+    ).collect()[0]["n_distinct_est"]
+    est_merged = sketches.hll_estimate(
+        sketches.hll_merge(per_shard, []), p=6
+    ).collect()[0]["n_distinct_est"]
+    assert est_merged == est_direct
+
+
 # ------------------------------------------- int8 quantization (round 5)
 def test_quantize_embeddings_bounds_and_dequant(spark, emb):
     q = similarity.quantize_embeddings(emb).collect()
