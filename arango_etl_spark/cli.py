@@ -72,6 +72,9 @@ def cmd_maintain(spark, args) -> None:
     if args.analyze_cols:
         m = table.analyze(spark, args.analyze_cols.split(","))
         print(f"analyzed {args.analyze_cols} (v{m['version']})")
+    if args.bloom_cols:
+        m = table.analyze_bloom(spark, args.bloom_cols.split(","))
+        print(f"bloom-indexed {args.bloom_cols} (v{m['version']})")
     if args.expire_keep is not None:
         table.expire_snapshots(keep_last=args.expire_keep)
         print(f"expired snapshots, kept last {args.expire_keep}")
@@ -359,6 +362,11 @@ def main() -> None:
                      metavar="COL[,COL...]",
                      help="collect per-file min/max zone maps for these "
                           "columns (metadata-only commit)")
+    mnt.add_argument("--bloom", dest="bloom_cols", default=None,
+                     metavar="COL[,COL...]",
+                     help="build per-file Bloom equality indexes for "
+                          "these columns (metadata-only commit; the "
+                          "hash-index half of the sink-index parity)")
     mnt.add_argument("--expire-keep", type=int, default=None,
                      help="expire snapshots, keeping the last N versions")
     mnt.add_argument("--rebucket", type=int, default=None,

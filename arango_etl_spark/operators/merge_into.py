@@ -124,8 +124,15 @@ def apply_changes(
     extra_summary: dict | None = None,
     min_seq_exclusive: int | None = None,
     branch: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> MergeResult:
-    """``branch``: Write-Audit-Publish mode — the merge stages onto the
+    """``bloom_cols``: write-time Bloom index maintenance — index ONLY
+    the files this merge stages (cost O(batch), never a table scan) so a
+    CoW table stays fully ``read_eq``-prunable commit after commit;
+    carried-over files keep their existing entries via the manifest
+    lifecycle. See SnapshotTable.build_blooms.
+
+    ``branch``: Write-Audit-Publish mode — the merge stages onto the
     named table branch instead of committing to the main line; audit the
     result with ``table.read_branch`` and then ``publish_branch`` /
     ``abandon_branch`` (see plans/wap.write_audit_publish for the wired
@@ -225,6 +232,20 @@ def apply_changes(
     else:
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
+    file_blooms = None
+    if bloom_cols:
+        import os as _os
+
+        abs_new = [
+            _os.path.join(table.root, rel)
+            for fs in new_files.values()
+            for rel in fs
+        ]
+        if abs_new:
+            file_blooms = table.build_blooms(
+                spark, abs_new, table.stored_schema(read_manifest), bloom_cols
+            )
+
     summary: dict = dict(extra_summary or {})
     if fence_stream_id is not None and batch_id is not None:
         summary[f"fence.{fence_stream_id}"] = int(batch_id)
@@ -247,6 +268,7 @@ def apply_changes(
             new_payload_schema=evolved_schema,
             mode="append" if strategy == "mor" else "merge",
             expected_version=manifest["version"],
+            file_blooms=file_blooms,
         )
         return MergeResult(
             version=new_manifest["version"],
@@ -268,6 +290,7 @@ def apply_changes(
         new_payload_schema=evolved_schema,
         mode="append" if strategy == "mor" else "merge",
         expected_version=manifest["version"],
+        file_blooms=file_blooms,
     )
 
     if strategy == "mor" and compact_every:
@@ -416,6 +439,7 @@ def compact(
     table: SnapshotTable,
     cluster_by: str | None = None,
     max_records_per_file: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Fold all delta files back to one stored row per key (full table) and
     drop nothing — tombstones are retained so late events keep losing.
@@ -426,7 +450,12 @@ def compact(
     rewrite layout: rows sorted by (bucket, cluster_by, key), files
     rolled every N records so each covers a narrow cluster_by range —
     the layout ``SnapshotTable.analyze`` + ``read_range`` zone-map
-    pruning is built for."""
+    pruning is built for.
+
+    ``bloom_cols``: re-establish the Bloom equality index over the
+    rewritten files in the same job (compaction replaces every file, so
+    prior entries die with them; MoR tables become ``read_eq``-eligible
+    exactly here, where ``one_row_per_key`` turns true)."""
     manifest = table.manifest()
     stored = table.read_stored(spark, manifest=manifest)
     resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
@@ -437,6 +466,17 @@ def compact(
         cluster_by=cluster_by,
         max_records_per_file=max_records_per_file,
     )
+    file_blooms = None
+    if bloom_cols:
+        import os as _os
+
+        abs_new = [
+            _os.path.join(table.root, rel) for fs in files.values() for rel in fs
+        ]
+        if abs_new:
+            file_blooms = table.build_blooms(
+                spark, abs_new, table.stored_schema(manifest), bloom_cols
+            )
     return table.commit(
         new_files=files,
         replaced_buckets=None,
@@ -444,6 +484,7 @@ def compact(
         mode="compact",
         one_row_per_key=True,
         expected_version=manifest["version"],
+        file_blooms=file_blooms,
     )
 
 

@@ -4063,6 +4063,75 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 93. bloom_point_lookup — the ENGINE's Bloom-indexed equality lookup on a
+# non-key column (plans/lakehouse.py analyze_bloom/read_eq; the hash-index
+# half of the reference's sink-side persistent indexes,
+# /root/reference/src/handler/arangodb.rs:440-524): load documents into a
+# CoW snapshot table, build per-file Bloom filters on `source`, and point-
+# look-up one source value through the pruned path. Correctness of the
+# PRUNED read is the point under the oracle (file skipping must never
+# change the answer); the pruning ratio itself is pinned in
+# tests/test_maintenance.py::test_bloom_point_lookup_pruning.
+# --------------------------------------------------------------------------
+_BLOOM_LOOKUP_SQL = """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+       array_to_string({tokens}, ',') AS tokens_csv,
+       {n_tok} AS n_tok,
+       source
+FROM documents
+WHERE source = 'src7'
+"""
+
+
+@_register(
+    "bloom_point_lookup",
+    _BLOOM_LOOKUP_SQL.format(
+        tokens=tokens_sql("doc_id", "doc_id"),
+        n_tok=n_tok_sql("doc_id", "doc_id"),
+    ),
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.operators.merge_into import apply_changes
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("key"),
+        F.col("doc_id").alias("seq_no"),
+        F.lit("insert").alias("op"),
+        tokens_expr(F.col("doc_id"), F.col("doc_id")).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), F.col("doc_id")).alias("n_tok"),
+        F.col("source"),
+        F.lit(0).cast("long").alias("batch_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_ts"),
+    ).withColumnRenamed("key", "doc_id")
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    table = SnapshotTable.create(
+        tempfile.mkdtemp(prefix="parity_bloom_") + "/t", payload, n_buckets=16
+    )
+    apply_changes(spark, table, ev, strategy="cow", compact_every=0)
+    table.analyze_bloom(spark, ["source"])
+    return table.read_eq(spark, "source", "src7").select(
+        "doc_id",
+        F.array_join("tokens", ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and

@@ -336,6 +336,170 @@ class SnapshotTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         return pruned.where(cond).drop(*META_NAMES)
 
+    # ------------------------------------------------------ bloom indexes
+    def analyze_bloom(
+        self, spark: SparkSession, cols: list[str], m_bits: int = 8192,
+        k: int = 5,
+    ) -> dict:
+        """Per-file Bloom filters for EQUALITY lookups on non-key columns
+        — the hash-index half of the reference's sink-side persistent
+        indexes (pub_key/count fields,
+        /root/reference/src/handler/arangodb.rs:440-524); the
+        skiplist/range half is :meth:`analyze` zone maps. Intended for
+        string / integral columns whose values scatter across files,
+        where min/max bounds prune nothing.
+
+        One scan of the stats columns per indexed column: each non-null
+        value hashes to ``k`` bit positions (``xxhash64(i, value)`` mod
+        ``m_bits``), exploded and distinct-aggregated per file — shuffle
+        state is capped at ``m_bits`` ints per (file, col) REGARDLESS of
+        row count (sketch-bounded, the same metadata class as zone
+        maps). The driver packs each position set into an ``m_bits/8``-
+        byte bitset (1 KB at the default) stored base64 in the manifest;
+        like ``file_stats``, entries die with their files and can never
+        contradict the file list. Files with zero non-null values get no
+        entry and are always read (pruning is an optimization, never a
+        correctness filter)."""
+        m = self.manifest()
+        files = self.data_files(m)
+        if not files:
+            return m
+        blooms = self.build_blooms(
+            spark, files, self.stored_schema(m), cols, m_bits=m_bits, k=k
+        )
+        return self.commit(
+            new_files={},
+            replaced_buckets=set(),
+            summary={"analyze_bloom": ",".join(cols)},
+            mode="analyze",
+            expected_version=m["version"],
+            file_blooms=blooms,
+        )
+
+    def build_blooms(
+        self,
+        spark: SparkSession,
+        abs_files: list[str],
+        schema: T.StructType,
+        cols: list[str],
+        m_bits: int = 8192,
+        k: int = 5,
+    ) -> dict:
+        """Compute Bloom index entries for exactly ``abs_files`` (no
+        commit) — the write-time hook: merge/compaction jobs index ONLY
+        their freshly staged files, so a CoW table stays fully indexed
+        with incremental cost O(batch), never a whole-table retrofit
+        scan (Iceberg writes file stats at write time for the same
+        reason; :meth:`analyze_bloom` is the explicit full-table
+        retrofit for tables that predate the index)."""
+        import base64
+        from functools import reduce as _reduce
+
+        base = spark.read.schema(schema).parquet(*abs_files)
+        parts = []
+        for c in cols:
+            pos = F.explode(
+                F.array(*[
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col(c).cast("string")),
+                        F.lit(m_bits),
+                    )
+                    for i in range(k)
+                ])
+            ).alias("_pos")
+            parts.append(
+                base.where(F.col(c).isNotNull()).select(
+                    F.input_file_name().alias("_f"),
+                    F.lit(c).alias("_c"),
+                    pos,
+                )
+            )
+        rows = (
+            _reduce(lambda a, b: a.unionByName(b), parts)
+            .groupBy("_f", "_c")
+            .agg(F.collect_set("_pos").alias("_ps"))
+            .collect()
+        )
+        blooms: dict[str, dict] = {}
+        for r in rows:
+            rel = self._rel_from_uri(r["_f"])
+            buf = bytearray(m_bits // 8)
+            for p in r["_ps"]:
+                buf[p >> 3] |= 1 << (p & 7)
+            blooms.setdefault(rel, {})[r["_c"]] = {
+                "m": m_bits, "k": k,
+                "b": base64.b64encode(bytes(buf)).decode(),
+            }
+        return blooms
+
+    def read_eq(
+        self, spark: SparkSession, col: str, value, manifest: dict | None = None
+    ) -> DataFrame:
+        """Point lookup on a non-key column with FILE-LEVEL Bloom
+        pruning: open only the files whose Bloom filter for ``col`` has
+        all ``k`` bits of ``value`` set (plus files without an index
+        entry — never a correctness filter; the exact predicate is
+        re-applied to whatever is opened).
+
+        The probe hashes ``value`` through the SAME Spark expression the
+        build used (one 1-row local job — guaranteed hash portability
+        without reimplementing xxhash64 driver-side). Same MoR soundness
+        rule as :meth:`read_range`: requires a ``one_row_per_key``
+        snapshot, since a pruned file may hold a key's winning version
+        while a losing version survives in a matching file."""
+        import base64
+
+        m = manifest or self.manifest()
+        if not m.get("one_row_per_key", False):
+            raise ValueError(
+                "read_eq requires a one_row_per_key snapshot — run "
+                "compact() first (MoR deltas make file-level pruning "
+                "unsound: a pruned file may hold the winning version)"
+            )
+        if value is None:
+            raise ValueError(
+                "read_eq probes non-null equality (Bloom filters index "
+                "non-null values only) — filter IS NULL via read()"
+            )
+        blooms = m.get("file_blooms", {})
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+
+        def _positions(mb: int, kk: int) -> list[int]:
+            if (mb, kk) not in pos_cache:
+                row = spark.range(1).select(*[
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.lit(value).cast("string")),
+                        F.lit(mb),
+                    ).alias(f"p{i}")
+                    for i in range(kk)
+                ]).collect()[0]
+                pos_cache[(mb, kk)] = [row[f"p{i}"] for i in range(kk)]
+            return pos_cache[(mb, kk)]
+
+        keep: list[str] = []
+        for rel in (rel for fs in m["files"].values() for rel in fs):
+            e = blooms.get(rel, {}).get(col)
+            if e is None:
+                keep.append(rel)
+                continue
+            buf = base64.b64decode(e["b"])
+            if all(
+                buf[p >> 3] & (1 << (p & 7))
+                for p in _positions(e["m"], e["k"])
+            ):
+                keep.append(rel)
+        schema = self.stored_schema(m)
+        if keep:
+            pruned = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, r) for r in keep]
+            )
+        else:
+            pruned = spark.createDataFrame([], schema)
+        return (
+            pruned.where(~F.col("_deleted") & (F.col(col) == F.lit(value)))
+            .drop(*META_NAMES)
+        )
+
     # ------------------------------------------------------------ writers
     def stage_write(
         self,
@@ -425,6 +589,7 @@ class SnapshotTable:
         expected_version: int | None = None,
         new_n_buckets: int | None = None,
         file_stats: dict | None = None,
+        file_blooms: dict | None = None,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -441,7 +606,8 @@ class SnapshotTable:
         ({rel_path: {col: [min, max]}}) into the manifest; the parent's
         entries carry over for files still referenced and are dropped
         with their files — stats can never outlive or contradict the
-        file list.
+        file list. ``file_blooms`` follows the identical lifecycle for
+        per-file Bloom index entries ({rel_path: {col: {m, k, b}}}).
         """
         if new_n_buckets is not None and replaced_buckets is not None:
             raise ValueError(
@@ -461,6 +627,7 @@ class SnapshotTable:
             one_row_per_key,
             new_n_buckets,
             file_stats,
+            file_blooms,
         )
         self._write_manifest(manifest)
         return manifest
@@ -476,6 +643,7 @@ class SnapshotTable:
         one_row_per_key: bool | None = None,
         new_n_buckets: int | None = None,
         file_stats: dict | None = None,
+        file_blooms: dict | None = None,
     ) -> dict:
         """Compute the child manifest of ``cur_v`` (shared by ``commit``
         and ``stage_branch`` — the SAME file-carryover / schema-widening /
@@ -521,6 +689,13 @@ class SnapshotTable:
             stats.update({r: s for r, s in file_stats.items() if r in kept})
         if stats:
             manifest["file_stats"] = stats
+        blooms = {
+            r: s for r, s in parent.get("file_blooms", {}).items() if r in kept
+        }
+        if file_blooms:
+            blooms.update({r: s for r, s in file_blooms.items() if r in kept})
+        if blooms:
+            manifest["file_blooms"] = blooms
         return manifest
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -558,6 +733,7 @@ class SnapshotTable:
         mode: str = "merge",
         one_row_per_key: bool | None = None,
         expected_version: int | None = None,
+        file_blooms: dict | None = None,
     ) -> dict:
         """Write-Audit-Publish step 1 (Iceberg's WAP / branch commit):
         build the child manifest exactly as :meth:`commit` would, but park
@@ -578,6 +754,7 @@ class SnapshotTable:
             new_payload_schema,
             mode,
             one_row_per_key,
+            file_blooms=file_blooms,
         )
         manifest["branch"] = name
         # staged (never-yet-referenced) files: exactly what abandon may

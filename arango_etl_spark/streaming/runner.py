@@ -85,6 +85,11 @@ class IngestConfig:
     # through sources.readers.debezium_to_events before the merge; same
     # fence/lineage/rollup semantics downstream)
     source_format: str = "parquet"
+    # write-time Bloom index maintenance: each micro-batch indexes ONLY
+    # its freshly staged files for these columns (O(batch); with the CoW
+    # strategy the table then stays read_eq-prunable continuously — see
+    # SnapshotTable.build_blooms). None = off.
+    bloom_cols: tuple[str, ...] | None = None
 
 
 def run_ingest(
@@ -213,6 +218,9 @@ def run_ingest(
                     dedup=cfg.dedup,
                     compact_every=cfg.compact_every,
                     min_seq_exclusive=cfg.min_seq_exclusive,
+                    bloom_cols=(
+                        list(cfg.bloom_cols) if cfg.bloom_cols else None
+                    ),
                 )
             if (
                 cfg.expire_every

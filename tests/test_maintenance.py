@@ -302,6 +302,141 @@ def test_zone_map_range_pruning(spark, tmp_path):
     assert again.count() == 1000
 
 
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-file Bloom equality index on a high-cardinality non-key
+    column (the reference's persistent pub_key index shape): a point
+    lookup must open only the file(s) whose Bloom matches, return
+    exactly the full-scan answer, refuse MoR snapshots, and fall back
+    to a full (correct) scan once compaction drops the index entries."""
+    t = mk_table(tmp_path, "blooms")
+    # unique-ish source per doc, scattered across buckets/files — zone
+    # maps prune nothing for this shape; only a hash index helps
+    rows = [
+        ev("update", f"d{i:05d}", i, [i % 7], src=f"user_{(i * 7919) % 9973}")
+        for i in range(10_000)
+    ]
+    apply_changes(
+        spark, t, mk_events(spark, rows), batch_id=0,
+        fence_stream_id="b", strategy="mor", compact_every=0,
+    )
+    with pytest.raises(ValueError, match="one_row_per_key"):
+        t.read_eq(spark, "source", "user_1")
+
+    from arango_etl_spark.operators.merge_into import compact
+
+    compact(spark, t, max_records_per_file=400)
+    t.analyze_bloom(spark, ["source"])
+    m = t.manifest()
+    all_files = t.data_files(m)
+    assert len(all_files) >= 24
+    assert set(m["file_blooms"]) == {
+        os.path.relpath(f, t.root) for f in all_files
+    }
+
+    target = f"user_{(4321 * 7919) % 9973}"  # source of doc d04321
+    got = t.read_eq(spark, "source", target)
+    opened = got.inputFiles()
+    hits = got.collect()
+    assert {r["doc_id"] for r in hits} == {"d04321"}
+    # the value lives in ONE file; Bloom FPs may open a couple more
+    assert len(opened) <= max(3, len(all_files) // 8), (
+        f"opened {len(opened)}/{len(all_files)}"
+    )
+    print(f"bloom pruning: opened {len(opened)}/{len(all_files)} files")
+
+    # absent value: 0 rows, and (modulo FPs) nearly nothing opened
+    miss = t.read_eq(spark, "source", "nobody_home")
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) <= max(3, len(all_files) // 8)
+    with pytest.raises(ValueError, match="non-null"):
+        t.read_eq(spark, "source", None)
+
+    # index entries survive metadata-only commits on the same files...
+    t.analyze(spark, ["_seq_no"])
+    assert set(t.manifest()["file_blooms"]) == {
+        os.path.relpath(f, t.root) for f in all_files
+    }
+    # ...and die with replaced files; the lookup then scans all files
+    # but still answers correctly (pruning is never a correctness gate)
+    compact(spark, t)
+    assert "file_blooms" not in t.manifest()
+    again = t.read_eq(spark, "source", target)
+    assert {r["doc_id"] for r in again.collect()} == {"d04321"}
+
+
+def test_bloom_write_time_maintenance(spark, tmp_path):
+    """Write-time index maintenance: CoW merges with ``bloom_cols`` index
+    only their freshly staged files (O(batch), no retrofit scan), yet
+    after every commit the WHOLE table is covered — new entries merge
+    with carried-over ones through the manifest lifecycle. MoR tables
+    get their index at compaction (``compact(bloom_cols=...)``), where
+    read_eq becomes sound."""
+    t = mk_table(tmp_path, "wtblooms")
+    b0 = [ev("update", f"d{i:04d}", i, [1], src=f"user_{i}") for i in range(0, 2000)]
+    b1 = [ev("update", f"d{i:04d}", i, [2], src=f"user_{i}", batch=1)
+          for i in range(2000, 4000)]
+    apply_changes(
+        spark, t, mk_events(spark, b0), batch_id=0, fence_stream_id="w",
+        strategy="cow", compact_every=0, bloom_cols=["source"],
+    )
+    apply_changes(
+        spark, t, mk_events(spark, b1), batch_id=1, fence_stream_id="w",
+        strategy="cow", compact_every=0, bloom_cols=["source"],
+    )
+    m = t.manifest()
+    all_files = t.data_files(m)
+    # every live file is indexed — including batch-0 files carried over
+    assert set(m["file_blooms"]) == {
+        os.path.relpath(f, t.root) for f in all_files
+    }
+    got = t.read_eq(spark, "source", "user_150")   # batch-0 resident
+    assert {r["doc_id"] for r in got.collect()} == {"d0150"}
+    assert len(got.inputFiles()) < len(all_files)
+    got = t.read_eq(spark, "source", "user_3999")  # batch-1 resident
+    assert {r["doc_id"] for r in got.collect()} == {"d3999"}
+
+    # MoR path: deltas are unindexed (read_eq raises pre-compaction);
+    # the compaction that makes pruning sound also (re)builds the index
+    t2 = mk_table(tmp_path, "morblooms")
+    apply_changes(
+        spark, t2,
+        mk_events(spark, [ev("update", f"e{i}", i, [1], src=f"s_{i}")
+                          for i in range(500)]),
+        strategy="mor", compact_every=0,
+    )
+    from arango_etl_spark.operators.merge_into import compact
+
+    compact(spark, t2, max_records_per_file=100, bloom_cols=["source"])
+    m2 = t2.manifest()
+    assert set(m2["file_blooms"]) == {
+        os.path.relpath(f, t2.root) for f in t2.data_files(m2)
+    }
+    hit = t2.read_eq(spark, "source", "s_42")
+    assert {r["doc_id"] for r in hit.collect()} == {"e42"}
+    assert len(hit.inputFiles()) < len(t2.data_files(m2))
+
+    # streaming: IngestConfig.bloom_cols maintains the index per epoch
+    d = str(tmp_path / "bloom_events")
+    for b, lo in ((0, 0), (1, 300)):
+        mk_events(
+            spark,
+            [ev("update", f"s{i:04d}", i, [1], src=f"u{i}", batch=b)
+             for i in range(lo, lo + 300)],
+        ).coalesce(1).write.parquet(f"{d}/batch={b:05d}")
+    t3 = mk_table(tmp_path, "streamblooms")
+    run_ingest(
+        spark, d, t3, str(tmp_path / "bloom_ckpt"),
+        cfg=IngestConfig(strategy="cow", bloom_cols=("source",),
+                         max_files_per_trigger=1),
+    )
+    m3 = t3.manifest()
+    assert set(m3["file_blooms"]) == {
+        os.path.relpath(f, t3.root) for f in t3.data_files(m3)
+    }
+    got = t3.read_eq(spark, "source", "u123")
+    assert {r["doc_id"] for r in got.collect()} == {"s0123"}
+
+
 def test_zone_map_timestamp_bounds(spark, tmp_path):
     """Timestamp zone maps are stored as unix micros; read_range accepts
     datetime bounds and converts symmetrically."""
