@@ -63,9 +63,12 @@ def cmd_maintain(spark, args) -> None:
         m = rebucket(spark, table, new_n_buckets=args.rebucket)
         print(f"rebucketed to {m['n_buckets']} buckets (v{m['version']})")
     if args.do_compact:
+        cluster = args.cluster_by
+        if cluster and "," in cluster:
+            cluster = cluster.split(",")  # 2-4 cols → Z-order rewrite
         m = compact(
             spark, table,
-            cluster_by=args.cluster_by,
+            cluster_by=cluster,
             max_records_per_file=args.max_records_per_file,
         )
         print(f"compacted (v{m['version']})")
@@ -354,7 +357,9 @@ def main() -> None:
                      help="fold MoR delta files to one row per key")
     mnt.add_argument("--cluster-by", default=None,
                      help="sort-order rewrite: cluster compacted files "
-                          "by this column (zone-map layout)")
+                          "by this column (zone-map layout); a comma "
+                          "list of 2-4 columns requests the Z-order "
+                          "rewrite (multi-dimensional pruning)")
     mnt.add_argument("--max-records-per-file", type=int, default=None,
                      help="roll compacted files every N records (narrow "
                           "zone-map ranges per file)")

@@ -437,7 +437,7 @@ def _merge_cow(
 def compact(
     spark: SparkSession,
     table: SnapshotTable,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     max_records_per_file: int | None = None,
     bloom_cols: list[str] | None = None,
 ) -> dict:
@@ -450,7 +450,11 @@ def compact(
     rewrite layout: rows sorted by (bucket, cluster_by, key), files
     rolled every N records so each covers a narrow cluster_by range —
     the layout ``SnapshotTable.analyze`` + ``read_range`` zone-map
-    pruning is built for.
+    pruning is built for. A LIST of 2-4 columns requests the Z-ORDER
+    rewrite instead (operators/zorder.py): files then cover small
+    hyper-rectangles of the combined space, so zone maps prune on EVERY
+    listed column at once — single-column clustering prunes perfectly
+    on one and not at all on the others.
 
     ``bloom_cols``: re-establish the Bloom equality index over the
     rewritten files in the same job (compaction replaces every file, so
@@ -461,6 +465,15 @@ def compact(
     resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
         "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)
     )
+    if isinstance(cluster_by, (list, tuple)):
+        if len(cluster_by) == 1:
+            cluster_by = cluster_by[0]
+        else:
+            from arango_etl_spark.operators.zorder import zorder_column
+
+            cluster_by = zorder_column(
+                resolved, list(cluster_by), table.stored_schema(manifest)
+            )
     _, files = table.stage_write(
         resolved,
         cluster_by=cluster_by,

@@ -508,7 +508,7 @@ class SnapshotTable:
         sort_within: bool = True,
         salt_n: int | None = None,
         pre_arranged: bool = False,
-        cluster_by: str | None = None,
+        cluster_by: str | Column | None = None,
         max_records_per_file: int | None = None,
     ) -> tuple[str, dict[str, list[str]]]:
         """Write df (with bucket_col) as one parquet dir partitioned by
@@ -556,9 +556,14 @@ class SnapshotTable:
         else:
             writer = df.repartition(n_parts, F.col(bucket_col))
         if sort_within and not pre_arranged:
-            sort_cols = [bucket_col]
-            if cluster_by:
-                sort_cols.append(cluster_by)
+            # cluster_by may be a column NAME or a computed sort Column
+            # (e.g. the Z-order key from operators/zorder.py)
+            sort_cols: list = [bucket_col]
+            if cluster_by is not None:
+                sort_cols.append(
+                    F.col(cluster_by) if isinstance(cluster_by, str)
+                    else cluster_by
+                )
             sort_cols.append(self.manifest()["key_col"])
             writer = writer.sortWithinPartitions(*sort_cols)
         w = writer.write.partitionBy(bucket_col).mode("error")

@@ -50,6 +50,8 @@ PARITY_QUERIES = [
     "quantize_embeddings",        # NEW r5: map-only int8 quantization
     "unigram_logprob_quality",    # NEW r5: vocab-join LM scoring
     "source_overlap_matrix",      # NEW r5: shingle-keyed self-join
+    "hll_distinct_users",         # NEW r5: HLL register sketch
+    "bloom_point_lookup",         # NEW r5: CoW load + bloom build + pruned eq
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs

@@ -14,7 +14,7 @@ from arango_etl_spark.plans.lakehouse import CommitConflict, SnapshotTable
 from arango_etl_spark.sources.cdc_generator import GeneratorConfig
 from arango_etl_spark.streaming.lineage import LineageLog
 from arango_etl_spark.streaming.runner import IngestConfig, run_ingest
-from tests.test_merge import PAYLOAD_SCHEMA, ev, mk_events
+from tests.test_merge import PAYLOAD_SCHEMA, TS0, ev, mk_events
 
 # poison test: one file per dir (epoch == file) and no cross-batch duplicate
 # deliveries, so "skip one epoch" == "exclude exactly one dir" in the oracle
@@ -300,6 +300,63 @@ def test_zone_map_range_pruning(spark, tmp_path):
     # pruning-free fallback still answers correctly (no stats present)
     again = t.read_range(spark, "_seq_no", lo=1000, hi=1999)
     assert again.count() == 1000
+
+
+def test_zorder_multi_column_pruning(spark, tmp_path):
+    """Z-order compaction (cluster_by=[a, b]) must give zone-map pruning
+    on BOTH columns at once, where single-column clustering prunes
+    perfectly on its own column and not at all on the other. Dims are
+    de-correlated by a Knuth multiplicative scatter so linear clustering
+    can't accidentally help the second column."""
+    import datetime as dt
+
+    from arango_etl_spark.operators.merge_into import compact
+
+    n = 8192
+    t = mk_table(tmp_path, "zorder")
+    rows = [
+        ev("update", f"d{i:04d}", i, [1],
+           ts=TS0 + dt.timedelta(seconds=(i * 2654435761) % n))
+        for i in range(n)
+    ]
+    apply_changes(
+        spark, t, mk_events(spark, rows), batch_id=0, fence_stream_id="z",
+        strategy="mor", compact_every=0,
+    )
+    compact(
+        spark, t, cluster_by=["_seq_no", "_event_ts"],
+        max_records_per_file=64,
+    )
+    t.analyze(spark, ["_seq_no", "_event_ts"])
+    all_files = t.data_files()
+    assert len(all_files) >= 64  # 8 buckets x 1024 rows / 64 per file
+
+    # ~10% range in dim 1
+    g1 = t.read_range(spark, "_seq_no", lo=0, hi=n // 10 - 1)
+    assert g1.count() == n // 10
+    frac1 = len(g1.inputFiles()) / len(all_files)
+    # ~10% window in dim 2
+    g2 = t.read_range(
+        spark, "_event_ts",
+        lo=TS0, hi=TS0 + dt.timedelta(seconds=n // 10 - 1),
+    )
+    assert g2.count() == n // 10
+    frac2 = len(g2.inputFiles()) / len(all_files)
+    assert frac1 <= 0.5 and frac2 <= 0.5, (frac1, frac2)
+    print(f"zorder pruning: seq {frac1:.2f}, ts {frac2:.2f} of files")
+
+    # contrast: linear clustering on _seq_no leaves _event_ts unprunable
+    compact(spark, t, cluster_by="_seq_no", max_records_per_file=64)
+    t.analyze(spark, ["_seq_no", "_event_ts"])
+    lin_files = t.data_files()
+    lin_seq = t.read_range(spark, "_seq_no", lo=0, hi=n // 10 - 1)
+    lin_ts = t.read_range(
+        spark, "_event_ts",
+        lo=TS0, hi=TS0 + dt.timedelta(seconds=n // 10 - 1),
+    )
+    assert len(lin_seq.inputFiles()) / len(lin_files) < frac1  # linear wins its own dim
+    assert len(lin_ts.inputFiles()) / len(lin_files) > 0.9     # and loses the other
+    assert lin_ts.count() == n // 10
 
 
 def test_bloom_point_lookup_pruning(spark, tmp_path):
