@@ -56,7 +56,9 @@ def cmd_maintain(spark, args) -> None:
     expiry, bucket-layout evolution — each an atomic commit; run them
     from a separate process while `current` keeps ingesting (the CAS
     retries loser commits)."""
-    from arango_etl_spark.operators.merge_into import compact, rebucket
+    from arango_etl_spark.operators.merge_into import (
+        compact, compact_buckets, rebucket,
+    )
 
     table = _table(args)
     if args.rebucket is not None:
@@ -66,12 +68,24 @@ def cmd_maintain(spark, args) -> None:
         cluster = args.cluster_by
         if cluster and "," in cluster:
             cluster = cluster.split(",")  # 2-4 cols → Z-order rewrite
-        m = compact(
-            spark, table,
-            cluster_by=cluster,
-            max_records_per_file=args.max_records_per_file,
-        )
-        print(f"compacted (v{m['version']})")
+        if args.min_delta_files is not None:
+            m = compact_buckets(
+                spark, table,
+                min_delta_files=args.min_delta_files,
+                max_buckets=args.max_compact_buckets,
+                cluster_by=cluster,
+                max_records_per_file=args.max_records_per_file,
+            )
+            done = m.get("compacted_buckets", [])
+            print(f"compacted buckets {done} (v{m['version']})"
+                  if done else "compaction skipped: no bucket at threshold")
+        else:
+            m = compact(
+                spark, table,
+                cluster_by=cluster,
+                max_records_per_file=args.max_records_per_file,
+            )
+            print(f"compacted (v{m['version']})")
     if args.analyze_cols:
         m = table.analyze(spark, args.analyze_cols.split(","))
         print(f"analyzed {args.analyze_cols} (v{m['version']})")
@@ -363,6 +377,14 @@ def main() -> None:
     mnt.add_argument("--max-records-per-file", type=int, default=None,
                      help="roll compacted files every N records (narrow "
                           "zone-map ranges per file)")
+    mnt.add_argument("--min-delta-files", type=int, default=None,
+                     help="INCREMENTAL compaction: rewrite only buckets "
+                          "holding >= N delta files (cold buckets carry "
+                          "over by reference — the steady-state "
+                          "maintenance mode at table scale)")
+    mnt.add_argument("--max-compact-buckets", type=int, default=None,
+                     help="cap one incremental run to the worst N "
+                          "buckets (paces rewrite volume)")
     mnt.add_argument("--analyze", dest="analyze_cols", default=None,
                      metavar="COL[,COL...]",
                      help="collect per-file min/max zone maps for these "

@@ -434,6 +434,39 @@ def _merge_cow(
     return files, set(touched)
 
 
+def _resolve_cluster_by(resolved, cluster_by, table, manifest):
+    """A LIST of 2-4 cluster columns requests the Z-order rewrite
+    (operators/zorder.py); a single name (or 1-list) is the linear
+    sort-order rewrite. Returns what stage_write accepts."""
+    if isinstance(cluster_by, (list, tuple)):
+        if len(cluster_by) == 1:
+            return cluster_by[0]
+        from arango_etl_spark.operators.zorder import zorder_column
+
+        return zorder_column(
+            resolved, list(cluster_by), table.stored_schema(manifest)
+        )
+    return cluster_by
+
+
+def _blooms_for(spark, table, manifest, files, bloom_cols):
+    """Bloom entries for freshly written ``files`` (commit's lifecycle
+    carries parent entries over for untouched files and drops them with
+    replaced ones)."""
+    if not bloom_cols:
+        return None
+    import os as _os
+
+    abs_new = [
+        _os.path.join(table.root, rel) for fs in files.values() for rel in fs
+    ]
+    if not abs_new:
+        return None
+    return table.build_blooms(
+        spark, abs_new, table.stored_schema(manifest), bloom_cols
+    )
+
+
 def compact(
     spark: SparkSession,
     table: SnapshotTable,
@@ -465,31 +498,12 @@ def compact(
     resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
         "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)
     )
-    if isinstance(cluster_by, (list, tuple)):
-        if len(cluster_by) == 1:
-            cluster_by = cluster_by[0]
-        else:
-            from arango_etl_spark.operators.zorder import zorder_column
-
-            cluster_by = zorder_column(
-                resolved, list(cluster_by), table.stored_schema(manifest)
-            )
+    cluster_by = _resolve_cluster_by(resolved, cluster_by, table, manifest)
     _, files = table.stage_write(
         resolved,
         cluster_by=cluster_by,
         max_records_per_file=max_records_per_file,
     )
-    file_blooms = None
-    if bloom_cols:
-        import os as _os
-
-        abs_new = [
-            _os.path.join(table.root, rel) for fs in files.values() for rel in fs
-        ]
-        if abs_new:
-            file_blooms = table.build_blooms(
-                spark, abs_new, table.stored_schema(manifest), bloom_cols
-            )
     return table.commit(
         new_files=files,
         replaced_buckets=None,
@@ -497,8 +511,77 @@ def compact(
         mode="compact",
         one_row_per_key=True,
         expected_version=manifest["version"],
-        file_blooms=file_blooms,
+        file_blooms=_blooms_for(spark, table, manifest, files, bloom_cols),
     )
+
+
+def compact_buckets(
+    spark: SparkSession,
+    table: SnapshotTable,
+    min_delta_files: int = 2,
+    max_buckets: int | None = None,
+    cluster_by: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """INCREMENTAL compaction: fold only the buckets whose delta-file
+    count has reached ``min_delta_files``, leave every other bucket's
+    files untouched in the child manifest.
+
+    Full ``compact`` rewrites the whole table — at 100 TB that is a
+    full-table read+write per maintenance run, which no real deployment
+    does. Steady-state MoR maintenance is Iceberg's
+    ``rewrite_data_files`` with a min-input-files / max-group filter:
+    pick the buckets where read amplification actually accumulated
+    (hot keys concentrate delta files in their hash buckets), rewrite
+    JUST those, and let the snapshot commit carry the cold buckets'
+    files over by reference. Bucket selection is pure MANIFEST metadata
+    — no data file is listed, opened, or scanned for cold buckets, so
+    the job's input is |hot buckets| / n_buckets of the table.
+
+    ``max_buckets`` caps one run's rewrite volume (worst-first by file
+    count) so maintenance can be paced against the ingest hot path.
+    ``one_row_per_key`` flips true only when the selection covered
+    every live bucket — a partial rewrite leaves the table MoR and the
+    read path keeps merging (correctness is never layout-dependent).
+
+    cf. reference sink's incremental index maintenance
+    (src/handler/arangodb.rs) — same off-hot-path shape, here as
+    snapshot-isolated file surgery."""
+    manifest = table.manifest()
+    by_count = sorted(
+        ((int(b), fs) for b, fs in manifest["files"].items()),
+        key=lambda kv: (-len(kv[1]), kv[0]),
+    )
+    hot = [b for b, fs in by_count if len(fs) >= int(min_delta_files)]
+    if max_buckets is not None:
+        hot = hot[: int(max_buckets)]
+    if not hot:
+        return {**manifest, "skipped": True, "compacted_buckets": []}
+    full = len(hot) == sum(1 for _, fs in by_count if fs)
+    stored = table.read_stored(spark, buckets=hot, manifest=manifest)
+    resolved = lww_resolve(stored, manifest["key_col"]).withColumn(
+        "_bucket", table.bucket_expr(F.col(manifest["key_col"]), manifest)
+    )
+    cluster_by = _resolve_cluster_by(resolved, cluster_by, table, manifest)
+    _, files = table.stage_write(
+        resolved,
+        cluster_by=cluster_by,
+        max_records_per_file=max_records_per_file,
+    )
+    out = table.commit(
+        new_files=files,
+        replaced_buckets=set(hot),
+        summary={"compaction": True, "compacted_buckets": sorted(hot)},
+        mode="compact",
+        # partial rewrite: parent's flag survives via None (cold buckets
+        # may still hold per-key delta stacks)
+        one_row_per_key=True if full else None,
+        expected_version=manifest["version"],
+        file_blooms=_blooms_for(spark, table, manifest, files, bloom_cols),
+    )
+    out["compacted_buckets"] = sorted(hot)
+    return out
 
 
 def bootstrap_from_snapshot(

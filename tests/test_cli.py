@@ -256,6 +256,12 @@ def test_cli_maintain_compact_expire_rebucket(spark, events_dir, tmp_path):
     manifests = [f for f in _os.listdir(t.meta_dir)
                  if f.startswith("v") and f.endswith(".json")]
     assert len(manifests) <= 2
+    # incremental mode routes through compact_buckets: everything is
+    # already 1 file/bucket, so a threshold of 2 is a skipped no-op
+    v = t.current_version()
+    run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
+            "maintain", "--compact", "--min-delta-files", "2")
+    assert SnapshotTable(table_dir).current_version() == v
 
 
 def test_cli_current_with_rollup(spark, tmp_path):

@@ -359,6 +359,66 @@ def test_zorder_multi_column_pruning(spark, tmp_path):
     assert lin_ts.count() == n // 10
 
 
+def test_incremental_compaction_hot_buckets_only(spark, tmp_path):
+    """compact_buckets must rewrite ONLY buckets at the delta-file
+    threshold: cold buckets' manifest entries carry over BY REFERENCE
+    (same file names — no read, no write), visible state is unchanged,
+    the change feed across the compaction is empty, and one_row_per_key
+    stays false until a run covers every live bucket."""
+    from arango_etl_spark.operators.merge_into import compact_buckets
+
+    t = mk_table(tmp_path, "inc")
+    keys = [f"d{i:03d}" for i in range(200)]
+    apply_changes(
+        spark, t,
+        mk_events(spark, [ev("insert", k, 1, [1, 2]) for k in keys]),
+        batch_id=0, fence_stream_id="i", strategy="mor", compact_every=0,
+    )
+    m0 = t.manifest()
+    kdf = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    by_bucket = {
+        r["doc_id"]: r["b"]
+        for r in kdf.select(
+            "doc_id", t.bucket_expr(F.col("doc_id"), m0).alias("b")
+        ).collect()
+    }
+    hot = sorted({b for b in by_bucket.values()})[:2]
+    hot_keys = [k for k, b in by_bucket.items() if b in hot]
+    for batch in (1, 2, 3):  # delta files pile up in the hot buckets only
+        apply_changes(
+            spark, t,
+            mk_events(
+                spark,
+                [ev("update", k, 10 + batch, [batch]) for k in hot_keys],
+            ),
+            batch_id=batch, fence_stream_id="i",
+            strategy="mor", compact_every=0,
+        )
+    pre = t.manifest()
+    assert all(len(pre["files"][str(b)]) == 4 for b in hot)
+    before = sorted(map(tuple, t.read(spark).collect()))
+
+    m = compact_buckets(spark, t, min_delta_files=4)
+    assert m["compacted_buckets"] == hot
+    assert m["one_row_per_key"] is False
+    for b, fs in pre["files"].items():
+        if int(b) in hot:
+            assert len(m["files"][b]) < len(fs)
+        else:
+            assert m["files"][b] == fs  # carried over by reference
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    assert t.read_changes(spark, pre["version"], m["version"]).count() == 0
+
+    # worst-first cap: a fresh pile-up + max_buckets=1 takes one bucket
+    skipped = compact_buckets(spark, t, min_delta_files=4)
+    assert skipped.get("skipped") and t.current_version() == m["version"]
+
+    # covering every live bucket flips the table flat
+    full = compact_buckets(spark, t, min_delta_files=1)
+    assert full["one_row_per_key"] is True
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
 def test_bloom_point_lookup_pruning(spark, tmp_path):
     """Per-file Bloom equality index on a high-cardinality non-key
     column (the reference's persistent pub_key index shape): a point
