@@ -92,6 +92,12 @@ def cmd_maintain(spark, args) -> None:
     if args.bloom_cols:
         m = table.analyze_bloom(spark, args.bloom_cols.split(","))
         print(f"bloom-indexed {args.bloom_cols} (v{m['version']})")
+    if args.do_counts:
+        m = table.analyze_counts(spark)
+        print(f"counted {m.get('counted_files', 0)} new files "
+              f"(v{m['version']})")
+        if table.counts_complete(m) and m.get("one_row_per_key"):
+            print(f"row_count (metadata-only): {table.row_count()}")
     if args.expire_keep is not None:
         table.expire_snapshots(keep_last=args.expire_keep)
         print(f"expired snapshots, kept last {args.expire_keep}")
@@ -99,6 +105,16 @@ def cmd_maintain(spark, args) -> None:
         r = table.remove_orphan_files(older_than_secs=args.orphan_grace)
         print(f"removed {r['removed_files']} orphan files "
               f"({r['removed_dirs']} dirs)")
+
+
+def cmd_inspect(spark, args) -> None:
+    """Metadata tables (Iceberg's .files/.snapshots/.partitions): answer
+    file-inventory / commit-history / per-bucket questions from manifest
+    state — no data page is read."""
+    from arango_etl_spark.plans.metadata import meta_df
+
+    table = _table(args)
+    meta_df(spark, table, args.kind).show(args.limit, truncate=False)
 
 
 def cmd_history(spark, args) -> None:
@@ -385,6 +401,11 @@ def main() -> None:
     mnt.add_argument("--max-compact-buckets", type=int, default=None,
                      help="cap one incremental run to the worst N "
                           "buckets (paces rewrite volume)")
+    mnt.add_argument("--counts", dest="do_counts", action="store_true",
+                     help="retrofit per-file row/tombstone counts "
+                          "(incremental: only uncounted files are "
+                          "scanned, _deleted column only); enables the "
+                          "metadata-only row_count on flat snapshots")
     mnt.add_argument("--analyze", dest="analyze_cols", default=None,
                      metavar="COL[,COL...]",
                      help="collect per-file min/max zone maps for these "
@@ -403,6 +424,13 @@ def main() -> None:
                      help="delete staged-but-never-committed commit dirs "
                           "older than GRACE_SECS (crash debris GC)")
 
+    ins = sub.add_parser("inspect",
+                         help="metadata tables — manifest state only, "
+                              "no data scan")
+    ins.add_argument("--kind", default="snapshots",
+                     choices=["files", "snapshots", "partitions"])
+    ins.add_argument("--limit", type=int, default=20)
+
     # TOML/env settings become parser-level defaults: they pre-populate the
     # namespace, so subparser defaults don't clobber them while explicit
     # CLI flags still win (argparse only applies a default when the
@@ -416,7 +444,8 @@ def main() -> None:
     spark = get_spark("arango_etl_spark", cores=args.cores)
     try:
         {"history": cmd_history, "rehydrate": cmd_rehydrate,
-         "current": cmd_current, "maintain": cmd_maintain}[args.cmd](
+         "current": cmd_current, "maintain": cmd_maintain,
+         "inspect": cmd_inspect}[args.cmd](
             spark, args)
     finally:
         spark.stop()

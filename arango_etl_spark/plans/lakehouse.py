@@ -376,6 +376,82 @@ class SnapshotTable:
             file_blooms=blooms,
         )
 
+    # ------------------------------------------------------- count stats
+    def analyze_counts(self, spark: SparkSession) -> dict:
+        """Per-file row + tombstone counts into the manifest (Iceberg
+        manifests carry ``record_count`` at write time; this is the
+        explicit retrofit, incremental by construction): ONLY files
+        missing a count are scanned, column-pruned to the one boolean
+        ``_deleted`` column — a re-run after N new commits reads the N
+        commits' files, never the table. The collect is
+        file-count-bounded metadata, same class as the bucket lists.
+
+        With complete counts on a flat (``one_row_per_key``) snapshot,
+        ``row_count`` answers ``SELECT count(*)`` from pure manifest
+        arithmetic — zero jobs, zero file opens."""
+        m = self.manifest()
+        have = m.get("file_counts", {})
+        missing = [
+            os.path.join(self.root, rel)
+            for fs in m["files"].values()
+            for rel in fs
+            if rel not in have
+        ]
+        if not missing:
+            return {**m, "counted_files": 0}
+        rows = (
+            spark.read.schema(self.stored_schema(m)).parquet(*missing)
+            .select(F.input_file_name().alias("_f"), "_deleted")
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.sum(F.col("_deleted").cast("int")).alias("_dels"),
+            )
+            .collect()
+        )
+        counts = {
+            self._rel_from_uri(r["_f"]): [int(r["_rows"]), int(r["_dels"])]
+            for r in rows
+        }
+        out = self.commit(
+            new_files={},
+            replaced_buckets=set(),
+            summary={"analyze_counts": len(counts)},
+            mode="analyze",
+            expected_version=m["version"],
+            file_counts=counts,
+        )
+        out["counted_files"] = len(counts)
+        return out
+
+    def counts_complete(self, manifest: dict | None = None) -> bool:
+        m = manifest or self.manifest()
+        have = m.get("file_counts", {})
+        return all(rel in have for fs in m["files"].values() for rel in fs)
+
+    def row_count(
+        self, spark: SparkSession | None = None,
+        manifest: dict | None = None,
+    ) -> int:
+        """Exact public row count (``read``'s count: LWW-resolved,
+        tombstones dropped). METADATA-ONLY — works with ``spark=None``,
+        zero jobs — when the snapshot is flat (one stored row per key,
+        so physical rows − tombstones IS the answer) and every file
+        carries a count. A MoR snapshot (per-key delta stacks across
+        files) cannot be counted from per-file totals; it falls back to
+        the real resolve+count, or raises if no session was given."""
+        m = manifest or self.manifest()
+        if m.get("one_row_per_key", False) and self.counts_complete(m):
+            counts = m.get("file_counts", {})
+            return sum(r - d for r, d in counts.values())
+        if spark is None:
+            raise ValueError(
+                "row_count needs a SparkSession: snapshot is not flat or "
+                "counts are incomplete (run compact + analyze_counts for "
+                "the metadata-only path)"
+            )
+        return self.read(spark, manifest=m).count()
+
     def build_blooms(
         self,
         spark: SparkSession,
@@ -595,6 +671,7 @@ class SnapshotTable:
         new_n_buckets: int | None = None,
         file_stats: dict | None = None,
         file_blooms: dict | None = None,
+        file_counts: dict | None = None,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -612,7 +689,9 @@ class SnapshotTable:
         entries carry over for files still referenced and are dropped
         with their files — stats can never outlive or contradict the
         file list. ``file_blooms`` follows the identical lifecycle for
-        per-file Bloom index entries ({rel_path: {col: {m, k, b}}}).
+        per-file Bloom index entries ({rel_path: {col: {m, k, b}}}), and
+        ``file_counts`` for per-file row/tombstone counts
+        ({rel_path: [rows, dels]}).
         """
         if new_n_buckets is not None and replaced_buckets is not None:
             raise ValueError(
@@ -633,6 +712,7 @@ class SnapshotTable:
             new_n_buckets,
             file_stats,
             file_blooms,
+            file_counts,
         )
         self._write_manifest(manifest)
         return manifest
@@ -649,6 +729,7 @@ class SnapshotTable:
         new_n_buckets: int | None = None,
         file_stats: dict | None = None,
         file_blooms: dict | None = None,
+        file_counts: dict | None = None,
     ) -> dict:
         """Compute the child manifest of ``cur_v`` (shared by ``commit``
         and ``stage_branch`` — the SAME file-carryover / schema-widening /
@@ -701,6 +782,13 @@ class SnapshotTable:
             blooms.update({r: s for r, s in file_blooms.items() if r in kept})
         if blooms:
             manifest["file_blooms"] = blooms
+        counts = {
+            r: c for r, c in parent.get("file_counts", {}).items() if r in kept
+        }
+        if file_counts:
+            counts.update({r: c for r, c in file_counts.items() if r in kept})
+        if counts:
+            manifest["file_counts"] = counts
         return manifest
 
     def _write_manifest(self, manifest: dict) -> None:

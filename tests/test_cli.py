@@ -262,6 +262,13 @@ def test_cli_maintain_compact_expire_rebucket(spark, events_dir, tmp_path):
     run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
             "maintain", "--compact", "--min-delta-files", "2")
     assert SnapshotTable(table_dir).current_version() == v
+    # count retrofit + metadata-table inspection (no data scan)
+    run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
+            "maintain", "--counts")
+    t = SnapshotTable(table_dir)
+    assert t.counts_complete() and t.row_count() == len(before)
+    run_cli("--events", events_dir, "--table", table_dir, "--cores", "4",
+            "inspect", "--kind", "partitions")
 
 
 def test_cli_current_with_rollup(spark, tmp_path):
