@@ -452,6 +452,68 @@ class SnapshotTable:
             )
         return self.read(spark, manifest=m).count()
 
+    def col_bounds(
+        self,
+        col: str,
+        spark: SparkSession | None = None,
+        manifest: dict | None = None,
+    ):
+        """Exact public ``(min, max)`` of ``col`` — METADATA-ONLY (zero
+        jobs, works with ``spark=None``) when three manifest facts hold:
+        the snapshot is flat (``one_row_per_key``), the counts channel
+        proves ZERO tombstones (zone maps are computed over stored rows
+        INCLUDING tombstones, so any tombstone could own an extreme and
+        make manifest bounds a superset, fine for pruning but wrong as
+        an answer), and every live file carries zone-map stats for
+        ``col``. That is Iceberg's manifest ``lower_bounds`` /
+        ``upper_bounds`` aggregate-pushdown contract. All-null files
+        store ``[null, null]`` and are skipped; a column with no
+        non-null value returns ``(None, None)``. Timestamp bounds
+        convert back from the stored unix-micros. Otherwise falls back
+        to the real tombstone-filtered scan (column-pruned by Catalyst),
+        or raises without a session."""
+        m = manifest or self.manifest()
+        stats = m.get("file_stats", {})
+        counts = m.get("file_counts", {})
+        rels = [rel for fs in m["files"].values() for rel in fs]
+        if (
+            m.get("one_row_per_key", False)
+            and all(r in counts for r in rels)
+            and sum(d for _, d in counts.values()) == 0
+            and all(col in stats.get(r, {}) for r in rels)
+        ):
+            mins = [stats[r][col][0] for r in rels
+                    if stats[r][col][0] is not None]
+            maxs = [stats[r][col][1] for r in rels
+                    if stats[r][col][1] is not None]
+            lo = min(mins) if mins else None
+            hi = max(maxs) if maxs else None
+            dtypes = {f.name: f.dataType for f in self.stored_schema(m).fields}
+            if isinstance(dtypes[col], T.TimestampType):
+                import datetime as _dt
+
+                def _ts(v):
+                    if v is None:
+                        return None
+                    return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                        microseconds=int(v))
+
+                return _ts(lo), _ts(hi)
+            return lo, hi
+        if spark is None:
+            raise ValueError(
+                "col_bounds needs a SparkSession: metadata-only min/max "
+                "requires a flat snapshot with complete counts proving "
+                "zero tombstones AND zone-map stats on every file for "
+                f"{col!r} (run compact + analyze_counts + analyze)"
+            )
+        resolved = lww_resolve(
+            self.read_stored(spark, manifest=m), m["key_col"]
+        )
+        r = resolved.where(~F.col("_deleted")).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        return r["lo"], r["hi"]
+
     def build_blooms(
         self,
         spark: SparkSession,

@@ -118,6 +118,46 @@ def test_snapshots_table_history(spark, tmp_path):
     assert kept[-1]["version"] == t.current_version()
 
 
+def test_col_bounds_metadata_only(spark, tmp_path):
+    """Manifest min/max (Iceberg bounds aggregate-pushdown): flat +
+    proven-tombstone-free + fully-stats'd snapshot answers (min, max)
+    with NO SparkSession; any tombstone forces the honest scan fallback
+    (zone maps include tombstoned rows, so manifest bounds would lie)."""
+    from arango_etl_spark.operators.merge_into import compact
+
+    t = mk_table(tmp_path, "bounds")
+    apply_changes(  # inserts only, distinct seqs — no tombstones anywhere
+        spark, t,
+        mk_events(
+            spark,
+            [ev("insert", f"d{i:03d}", i, [1]) for i in range(80)],
+        ),
+        batch_id=0, fence_stream_id="m", strategy="mor", compact_every=0,
+    )
+    compact(spark, t)
+    t.analyze_counts(spark)
+    t.analyze(spark, ["_seq_no", "_event_ts"])
+    # metadata-only: zero jobs, no session argument
+    assert t.col_bounds("_seq_no") == (0, 79)
+    assert t.col_bounds("_event_ts") == t.col_bounds("_event_ts", spark)
+
+    # a delete introduces a tombstone owning the _seq_no max: after
+    # recompaction the snapshot is flat again but counts prove
+    # tombstones>0 → the metadata path refuses (manifest bounds would
+    # report the tombstone's 99); the scan fallback answers the live max
+    apply_changes(
+        spark, t,
+        mk_events(spark, [ev("delete", "d079", 99, None)]),
+        batch_id=1, fence_stream_id="m", strategy="mor", compact_every=0,
+    )
+    compact(spark, t)
+    t.analyze_counts(spark)
+    t.analyze(spark, ["_seq_no"])
+    with pytest.raises(ValueError):
+        t.col_bounds("_seq_no")
+    assert t.col_bounds("_seq_no", spark) == (0, 78)
+
+
 def test_counts_survive_incremental_compaction(spark, tmp_path):
     """file_counts follow the file lifecycle: untouched buckets keep
     their entries across an incremental compaction; rewritten buckets
