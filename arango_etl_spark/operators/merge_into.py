@@ -125,12 +125,20 @@ def apply_changes(
     min_seq_exclusive: int | None = None,
     branch: str | None = None,
     bloom_cols: list[str] | None = None,
+    count_files: bool = False,
 ) -> MergeResult:
     """``bloom_cols``: write-time Bloom index maintenance — index ONLY
     the files this merge stages (cost O(batch), never a table scan) so a
     CoW table stays fully ``read_eq``-prunable commit after commit;
     carried-over files keep their existing entries via the manifest
     lifecycle. See SnapshotTable.build_blooms.
+
+    ``count_files``: write-time row/tombstone counts for the staged
+    files (same O(batch) lifecycle as blooms) — with this on, a CoW
+    table answers ``row_count()``/``col_bounds()`` from pure manifest
+    arithmetic after EVERY commit, no ``analyze_counts`` retrofit; MoR
+    tables keep counts current so the retrofit after compaction covers
+    only the rewritten files. See SnapshotTable.build_counts.
 
     ``branch``: Write-Audit-Publish mode — the merge stages onto the
     named table branch instead of committing to the main line; audit the
@@ -232,19 +240,8 @@ def apply_changes(
     else:
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
-    file_blooms = None
-    if bloom_cols:
-        import os as _os
-
-        abs_new = [
-            _os.path.join(table.root, rel)
-            for fs in new_files.values()
-            for rel in fs
-        ]
-        if abs_new:
-            file_blooms = table.build_blooms(
-                spark, abs_new, table.stored_schema(read_manifest), bloom_cols
-            )
+    file_blooms = _blooms_for(spark, table, read_manifest, new_files, bloom_cols)
+    file_counts = _counts_for(spark, table, read_manifest, new_files, count_files)
 
     summary: dict = dict(extra_summary or {})
     if fence_stream_id is not None and batch_id is not None:
@@ -269,6 +266,7 @@ def apply_changes(
             mode="append" if strategy == "mor" else "merge",
             expected_version=manifest["version"],
             file_blooms=file_blooms,
+            file_counts=file_counts,
         )
         return MergeResult(
             version=new_manifest["version"],
@@ -291,6 +289,7 @@ def apply_changes(
         mode="append" if strategy == "mor" else "merge",
         expected_version=manifest["version"],
         file_blooms=file_blooms,
+        file_counts=file_counts,
     )
 
     if strategy == "mor" and compact_every:
@@ -467,12 +466,29 @@ def _blooms_for(spark, table, manifest, files, bloom_cols):
     )
 
 
+def _counts_for(spark, table, manifest, files, count_files):
+    """Row/tombstone counts for freshly written ``files`` (same manifest
+    lifecycle as blooms: parent entries carry over for untouched files
+    and die with replaced ones)."""
+    if not count_files:
+        return None
+    import os as _os
+
+    abs_new = [
+        _os.path.join(table.root, rel) for fs in files.values() for rel in fs
+    ]
+    return table.build_counts(
+        spark, abs_new, table.stored_schema(manifest)
+    ) or None
+
+
 def compact(
     spark: SparkSession,
     table: SnapshotTable,
     cluster_by: str | list[str] | None = None,
     max_records_per_file: int | None = None,
     bloom_cols: list[str] | None = None,
+    count_files: bool = False,
 ) -> dict:
     """Fold all delta files back to one stored row per key (full table) and
     drop nothing — tombstones are retained so late events keep losing.
@@ -512,6 +528,7 @@ def compact(
         one_row_per_key=True,
         expected_version=manifest["version"],
         file_blooms=_blooms_for(spark, table, manifest, files, bloom_cols),
+        file_counts=_counts_for(spark, table, manifest, files, count_files),
     )
 
 
@@ -523,6 +540,7 @@ def compact_buckets(
     cluster_by: str | list[str] | None = None,
     max_records_per_file: int | None = None,
     bloom_cols: list[str] | None = None,
+    count_files: bool = False,
 ) -> dict:
     """INCREMENTAL compaction: fold only the buckets whose delta-file
     count has reached ``min_delta_files``, leave every other bucket's
@@ -579,6 +597,7 @@ def compact_buckets(
         one_row_per_key=True if full else None,
         expected_version=manifest["version"],
         file_blooms=_blooms_for(spark, table, manifest, files, bloom_cols),
+        file_counts=_counts_for(spark, table, manifest, files, count_files),
     )
     out["compacted_buckets"] = sorted(hot)
     return out

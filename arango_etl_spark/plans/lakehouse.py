@@ -399,20 +399,7 @@ class SnapshotTable:
         ]
         if not missing:
             return {**m, "counted_files": 0}
-        rows = (
-            spark.read.schema(self.stored_schema(m)).parquet(*missing)
-            .select(F.input_file_name().alias("_f"), "_deleted")
-            .groupBy("_f")
-            .agg(
-                F.count(F.lit(1)).alias("_rows"),
-                F.sum(F.col("_deleted").cast("int")).alias("_dels"),
-            )
-            .collect()
-        )
-        counts = {
-            self._rel_from_uri(r["_f"]): [int(r["_rows"]), int(r["_dels"])]
-            for r in rows
-        }
+        counts = self.build_counts(spark, missing, self.stored_schema(m))
         out = self.commit(
             new_files={},
             replaced_buckets=set(),
@@ -423,6 +410,35 @@ class SnapshotTable:
         )
         out["counted_files"] = len(counts)
         return out
+
+    def build_counts(
+        self,
+        spark: SparkSession,
+        abs_files: list[str],
+        schema: T.StructType,
+    ) -> dict:
+        """Row/tombstone counts for exactly ``abs_files`` (no commit) —
+        the write-time hook: merge/compaction jobs count ONLY the files
+        they just staged (O(batch), column-pruned to ``_deleted``), so
+        ``row_count``/``col_bounds`` stay metadata-answerable commit
+        after commit with no retrofit scan — the Iceberg contract, where
+        writers put ``record_count`` in the manifest at write time."""
+        if not abs_files:
+            return {}
+        rows = (
+            spark.read.schema(schema).parquet(*abs_files)
+            .select(F.input_file_name().alias("_f"), "_deleted")
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("_rows"),
+                F.sum(F.col("_deleted").cast("int")).alias("_dels"),
+            )
+            .collect()
+        )
+        return {
+            self._rel_from_uri(r["_f"]): [int(r["_rows"]), int(r["_dels"])]
+            for r in rows
+        }
 
     def counts_complete(self, manifest: dict | None = None) -> bool:
         m = manifest or self.manifest()
@@ -889,6 +905,7 @@ class SnapshotTable:
         one_row_per_key: bool | None = None,
         expected_version: int | None = None,
         file_blooms: dict | None = None,
+        file_counts: dict | None = None,
     ) -> dict:
         """Write-Audit-Publish step 1 (Iceberg's WAP / branch commit):
         build the child manifest exactly as :meth:`commit` would, but park
@@ -910,6 +927,7 @@ class SnapshotTable:
             mode,
             one_row_per_key,
             file_blooms=file_blooms,
+            file_counts=file_counts,
         )
         manifest["branch"] = name
         # staged (never-yet-referenced) files: exactly what abandon may

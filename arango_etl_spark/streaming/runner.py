@@ -90,6 +90,11 @@ class IngestConfig:
     # strategy the table then stays read_eq-prunable continuously — see
     # SnapshotTable.build_blooms). None = off.
     bloom_cols: tuple[str, ...] | None = None
+    # write-time row/tombstone counts: each micro-batch counts ONLY its
+    # freshly staged files (O(batch)) so row_count()/col_bounds() stay
+    # metadata-answerable as the stream runs — see
+    # SnapshotTable.build_counts. False = off.
+    count_files: bool = False
 
 
 def run_ingest(
@@ -221,6 +226,7 @@ def run_ingest(
                     bloom_cols=(
                         list(cfg.bloom_cols) if cfg.bloom_cols else None
                     ),
+                    count_files=cfg.count_files,
                 )
             if (
                 cfg.expire_every

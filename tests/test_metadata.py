@@ -118,6 +118,51 @@ def test_snapshots_table_history(spark, tmp_path):
     assert kept[-1]["version"] == t.current_version()
 
 
+def test_write_time_counts(spark, tmp_path):
+    """count_files=True: every commit counts only its staged files, so a
+    CoW table answers row_count() metadata-only after EVERY commit (no
+    retrofit), and an incremental compaction with count_files covers the
+    rewritten bucket so the counts channel never goes stale."""
+    t = mk_table(tmp_path, "wtc")
+    apply_changes(
+        spark, t,
+        mk_events(
+            spark, [ev("insert", f"d{i:03d}", i, [1]) for i in range(60)]
+        ),
+        batch_id=0, fence_stream_id="m", strategy="cow", compact_every=0,
+        count_files=True,
+    )
+    assert t.counts_complete()
+    assert t.row_count() == 60  # metadata-only, no session
+
+    apply_changes(
+        spark, t,
+        mk_events(
+            spark,
+            [ev("update", f"d{i:03d}", 100 + i, [9]) for i in range(20)]
+            + [ev("delete", f"d{i:03d}", 200 + i, None) for i in range(50, 60)],
+        ),
+        batch_id=1, fence_stream_id="m", strategy="cow", compact_every=0,
+        count_files=True,
+    )
+    assert t.counts_complete()
+    assert t.row_count() == 50  # still zero retrofit scans
+
+    # MoR deltas + incremental compaction keep the channel complete when
+    # the compaction itself counts its rewritten files
+    apply_changes(
+        spark, t,
+        mk_events(spark, [ev("update", "d000", 999, [5])]),
+        batch_id=2, fence_stream_id="m", strategy="mor", compact_every=0,
+        count_files=True,
+    )
+    assert t.counts_complete()
+    from arango_etl_spark.operators.merge_into import compact_buckets
+
+    m = compact_buckets(spark, t, min_delta_files=2, count_files=True)
+    assert t.counts_complete(m)
+
+
 def test_col_bounds_metadata_only(spark, tmp_path):
     """Manifest min/max (Iceberg bounds aggregate-pushdown): flat +
     proven-tombstone-free + fully-stats'd snapshot answers (min, max)
