@@ -4132,6 +4132,71 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cube_event_matrix — full CUBE grouping sets (§2.7 sibling of
+# rollup_pricing's ROLLUP): every (event_type × day) subtotal combination
+# in ONE pass. Spark plans CUBE as a single Expand + partial-aggregating
+# hash agg — 4 grouping sets cost one scan, not four.
+# --------------------------------------------------------------------------
+_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+GROUP BY CUBE(event_type, day)
+"""
+
+
+@_register("cube_event_matrix", _CUBE_SQL)
+def cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# funnel_set_ops — INTERSECT then EXCEPT (§2.7 set operations): users who
+# both viewed AND clicked but never made a high-value (>150) purchase.
+# Spark compiles intersect/subtract to distinct + left-semi/left-anti
+# shuffle joins on the full row — the scale shape is the same
+# hash-partitioned join as any key equi-join, no materialized
+# intermediate sets. (The value filter keeps the result non-trivial at
+# every sf: plain "never purchased" is empty — each user purchases.)
+# --------------------------------------------------------------------------
+_SET_OPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+"""
+
+
+@_register("funnel_set_ops", _SET_OPS_SQL)
+def funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    by = lambda c: ev.where(c).select("user_id")  # noqa: E731
+    t = F.col("event_type")
+    return (
+        by(t == "view")
+        .intersect(by(t == "click"))
+        .subtract(by((t == "purchase") & (F.col("value") > 150)))
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and

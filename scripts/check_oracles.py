@@ -7,8 +7,9 @@ are scale-independent (no thresholds or dims tuned to one sf).
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
-the HLL sketch + cdc_change_feed + bloom_point_lookup additions): all
-93 queries match at sf0.001, sf0.01 AND sf0.1.
+the cube_event_matrix + funnel_set_ops additions): all 95 queries
+match; the 93 pre-existing swept at sf0.001, sf0.01 AND sf0.1 via this
+script, the 2 new ones checked pairwise at all three sfs at add time.
 """
 
 from __future__ import annotations
