@@ -374,3 +374,23 @@ def test_q16_blacklist_anti_join_and_distinct_agg(spark):
     assert "LeftAnti" in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan, plan[:3000]
     assert "partial" in plan.lower()
+
+
+def test_cube_is_one_pass_expand(spark):
+    """CUBE must plan as a single Expand (4 grouping sets from one scan)
+    feeding a partial-aggregating hash agg — never one scan per set."""
+    df = parity.cube_event_matrix(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "Expand" in plan, plan[:3000]
+    assert "partial" in plan.lower(), plan[:3000]
+    assert plan.count("FileScan") == 1, plan[:3000]
+
+
+def test_set_ops_are_semi_anti_joins(spark):
+    """INTERSECT/EXCEPT must compile to distinct + LeftSemi/LeftAnti
+    hash joins — no nested loop, no global sort."""
+    df = parity.funnel_set_ops(spark, SF)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
+    assert "NestedLoop" not in plan, plan[:3000]
