@@ -4197,6 +4197,39 @@ def funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# moving_avg_value — bounded sliding window frame (§2.7: ROWS BETWEEN 4
+# PRECEDING AND CURRENT ROW), the frame shape running sums don't cover.
+# Per-user frames shuffle once on user_id and sort within partitions —
+# state is O(frame), not O(partition). Tie-broken by event_id so the
+# frame contents are engine-independent; 4dp display rounding per the
+# float-output policy.
+# --------------------------------------------------------------------------
+_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg5
+FROM events
+"""
+
+
+@_register("moving_avg_value", _MOVING_AVG_SQL)
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 4).alias("avg5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and
