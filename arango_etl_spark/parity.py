@@ -4230,6 +4230,49 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# trailing_hour_count — RANGE window frame by VALUE (§2.7: RANGE BETWEEN
+# 3600 PRECEDING over epoch seconds), the peers-inclusive frame ROWS
+# frames can't express: every event counts ALL events of the same user in
+# the trailing hour, simultaneous events included symmetrically. Epoch
+# integers keep the frame arithmetic engine-portable (Spark's DataFrame
+# rangeBetween is numeric-only; DuckDB matches on the same integers).
+# The oracle FLOORS the epoch before casting: Spark's unix_timestamp
+# truncates fractional seconds while DuckDB's double→bigint cast ROUNDS
+# — unfloored, events at x.5+ seconds land in the next second and flip
+# frame membership exactly at 3600 s separations (2/100k rows at sf0.1).
+# --------------------------------------------------------------------------
+_TRAILING_HOUR_SQL = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_s
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_last_hour
+FROM (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events)
+"""
+
+
+@_register("trailing_hour_count", _TRAILING_HOUR_SQL)
+def trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gate-order curation. The driver's correctness gate evaluates exactly the
 # FIRST 50 entries of queries() (dict insertion order), so the emission
 # order is curated: one best representative per operator family first, and

@@ -7,9 +7,9 @@ are scale-independent (no thresholds or dims tuned to one sf).
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
-the cube/set-ops/moving-average additions): all 96 queries
+the cube/set-ops/window-frame additions): all 97 queries
 match; the 93 pre-existing swept at sf0.001, sf0.01 AND sf0.1 via this
-script, the 3 new ones checked pairwise at all three sfs at add time.
+script, the 4 new ones checked pairwise at all three sfs at add time.
 """
 
 from __future__ import annotations
