@@ -244,3 +244,84 @@ def unigram_logprob(
             F.avg(-F.log2(F.col("cnt") / F.col("tot"))).alias("mean_nll"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag-of-terms query
+    (Robertson/Sparck-Jones BM25 with the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))). Returns (doc_id, score),
+    best-first, ties broken by doc_id.
+
+    The canonical "search the corpus" op a reference user runs against
+    their loaded collections (ArangoDB ships it as ANALYZER/BM25 views);
+    here it is a pure aggregate-join plan:
+
+    - doc length is MAP-SIDE column arithmetic (size of the split
+      array) — the corpus is never shuffled to learn lengths;
+    - only postings whose token is IN the query (a broadcast literal
+      array of a handful of terms) reach the one (doc, term) shuffle —
+      shuffle volume is the query's posting lists, not the corpus;
+    - N and avgdl are a 1-row aggregate joined by broadcast; per-term
+      document frequencies aggregate FROM the postings (bounded by
+      #query_terms rows);
+    - final top-k is TakeOrderedAndProject (per-partition k-row heaps,
+      driver merge) — never a global sort or single-partition window.
+
+    Scores are rounded to ``round_dp`` BEFORE the ordering so ranking,
+    tie-breaking, and the k-cut are bit-identical across engines
+    (float-sum association differs at ~1e-16; 6 dp is 10 orders of
+    magnitude coarser). Pass round_dp=None for raw doubles.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    postings = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_toks").alias("term"))
+        .where(F.array_contains(terms, F.col("term")))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    score = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(score).alias("score"))
+    )
+    if round_dp is not None:
+        scored = scored.select(id_col, F.round("score", round_dp).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -4281,6 +4281,234 @@ def trailing_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything past 50 is still oracle-checked by scripts/check_oracles.py.
 # The mapping family -> gate representative is documented in COVERAGE.md.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Graph traversal family (operators/graph.py). The reference's sink IS a
+# property graph — it builds _from/_to edge documents
+# (/root/reference/src/document/edge.rs:7-41) so users can traverse them
+# with AQL downstream; these queries re-express that traversal surface
+# over the lakehouse tables. Shared fixture: the part co-purchase graph —
+# two parts are adjacent iff some order contains both (partkeys
+# restricted to %10==0 to keep the graph sparse and multi-hop at every
+# sf). The oracle builds the SAME symmetric edge set and walks it with
+# recursive CTEs (hop-bounded, like the operators).
+# --------------------------------------------------------------------------
+_GRAPH_CTE = """
+q AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 10 = 0
+), und AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM q a JOIN q b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), seeds AS (
+    SELECT DISTINCT src AS seed FROM und ORDER BY seed LIMIT 3
+)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric part co-purchase edges (src, dst) via operators.graph."""
+    from arango_etl_spark.operators.graph import symmetrize
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    canon = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return symmetrize(canon)
+
+
+def _graph_seeds(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(3)
+    )
+
+
+_KHOP_SQL = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+walk(seed, node, depth) AS (
+    SELECT seed, seed, 0 FROM seeds
+    UNION
+    SELECT w.seed, e.dst, w.depth + 1
+    FROM walk w JOIN und e ON e.src = w.node
+    WHERE w.depth < 3
+)
+SELECT seed, node, CAST(min(depth) AS INTEGER) AS depth
+FROM walk GROUP BY seed, node
+"""
+
+
+@_register("graph_khop", _KHOP_SQL)
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQL `FOR v IN 0..3 ANY seed` — BFS min-depth within 3 hops."""
+    from arango_etl_spark.operators.graph import k_hop
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return k_hop(edges, _graph_seeds(edges), k=3)
+
+
+_SHORTEST_SQL = f"""
+WITH RECURSIVE {_GRAPH_CTE},
+wund AS (
+    SELECT src, dst, CAST(abs(src - dst) % 7 + 1 AS BIGINT) AS w FROM und
+),
+walk(seed, node, dist, hops) AS (
+    SELECT seed, seed, CAST(0 AS BIGINT), 0 FROM seeds
+    UNION ALL
+    SELECT wk.seed, e.dst, wk.dist + e.w, wk.hops + 1
+    FROM walk wk JOIN wund e ON e.src = wk.node
+    WHERE wk.hops < 4
+)
+SELECT seed, node, min(dist) AS dist FROM walk GROUP BY seed, node
+"""
+
+
+@_register("graph_shortest_paths", _SHORTEST_SQL)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths bounded to 4 hops (Bellman-Ford frontier
+    relaxation vs the oracle's exhaustive bounded path enumeration —
+    both compute min total weight over <=4-hop paths, exactly)."""
+    from arango_etl_spark.operators.graph import bounded_shortest_paths
+
+    edges = _copurchase_edges(spark, sf_dir).withColumn(
+        "w", (F.abs(F.col("src") - F.col("dst")) % 7 + 1).cast("bigint")
+    )
+    return bounded_shortest_paths(
+        edges, _graph_seeds(edges), max_hops=4, weight_col="w"
+    )
+
+
+_TRIANGLES_SQL = f"""
+WITH {_GRAPH_CTE},
+ce AS (
+    SELECT src, dst FROM und WHERE src < dst
+), tri AS (
+    SELECT e1.src AS na, e1.dst AS nb, e2.dst AS nc
+    FROM ce e1
+    JOIN ce e2 ON e2.src = e1.dst
+    JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT na AS node FROM tri
+    UNION ALL SELECT nb FROM tri
+    UNION ALL SELECT nc FROM tri
+) t
+GROUP BY node
+"""
+
+
+@_register("graph_triangles", _TRIANGLES_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation via the canonical a<b<c
+    orientation join (each triangle counted once, no cartesian)."""
+    from arango_etl_spark.operators.graph import triangle_count
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_count(edges, per_node=True)
+
+
+_PAGERANK_ITER = """
+c{i} AS (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+    FROM r{p} r JOIN deg d ON d.node = r.node JOIN und e ON e.src = r.node
+    GROUP BY e.dst
+), r{i} AS (
+    SELECT n.node,
+           (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c{i}.contrib, CAST(0.0 AS DOUBLE)) AS rank
+    FROM nodes n CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = n.node
+)
+"""
+
+_PAGERANK_SQL = (
+    f"""
+WITH {_GRAPH_CTE},
+nodes AS (SELECT DISTINCT src AS node FROM und),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+        FROM und GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+    + ",".join(_PAGERANK_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, round(rank, 8) AS rank FROM r3
+"""
+)
+
+
+@_register("graph_pagerank", _PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank vs the oracle's unrolled CTE chain.
+    The graph is symmetric so dangling mass is structurally zero; the
+    operator still evaluates its dangling term (a 1-row broadcast
+    aggregate) — it folds in exact 0.0. Ranks rounded to 8 dp both
+    sides (float-sum association differs at ~1e-16)."""
+    from arango_etl_spark.operators.graph import pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return pagerank(edges, iters=3, damping=0.85).select(
+        "node", F.round("rank", 8).alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# bm25_search — BM25 keyword retrieval over documents (operators/text.py
+# bm25_topk). ArangoDB exposes this as its ANALYZER/BM25 search views —
+# the query surface a reference user runs against loaded collections.
+# --------------------------------------------------------------------------
+_BM25_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '') AS toks
+    FROM documents
+), d AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base
+), stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(dl AS DOUBLE)) AS avgdl
+    FROM d
+), postings AS (
+    SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) t
+    WHERE term IN ('window', 'merge', 'stream')
+    GROUP BY doc_id, dl, term
+), dfreq AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term
+)
+SELECT p.doc_id,
+       round(sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+       ), 6) AS score
+FROM postings p JOIN dfreq f ON f.term = p.term CROSS JOIN stats s
+GROUP BY p.doc_id
+ORDER BY score DESC, p.doc_id ASC
+LIMIT 10
+"""
+
+
+@_register("bm25_search", _BM25_SQL)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["window", "merge", "stream"],
+        k=10,
+    )
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
@@ -4315,6 +4543,11 @@ _GATE_ORDER = [
     "session_window_stats",
     "asof_join_views",
     "range_join_windows",
+    # graph traversal + graph analytics (the reference's sink is a
+    # property graph — edge.rs; khop/triangles are same-family twins
+    # past 50, check_oracles-swept)
+    "graph_shortest_paths",
+    "graph_pagerank",
     # CDC-derived views (snapshot_diff_states is the declarative twin of
     # cdc_change_feed — past 50; the gate keeps the version that exercises
     # the ENGINE's read_changes path: MoR merge → manifest-pruned CDF)
@@ -4338,14 +4571,15 @@ _GATE_ORDER = [
     "language_id_docs",
     "redact_pii_docs",
     "contamination_check",
-    # corpus profiling
+    # text retrieval (BM25 keyword search — ArangoDB's search-view surface)
+    "bm25_search",
+    # corpus profiling (value_histogram / bigram_counts are count-shaping
+    # twins of histogram_counts / vocab_topk — past 50)
     "vocab_topk",
-    "value_histogram",
-    "bigram_counts",
     "length_quantiles",
-    # packing / splits / sampling
+    # packing / splits / sampling (truncate_pad = packing twin of
+    # pack_chunks — past 50)
     "pack_chunks",
-    "truncate_pad",
     "split_assignment",
     "mixture_sampled",
     # multimodal + end-to-end curation

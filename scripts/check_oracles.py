@@ -7,9 +7,11 @@ are scale-independent (no thresholds or dims tuned to one sf).
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
-the cube/set-ops/window-frame additions): all 97 queries
-match; the 93 pre-existing swept at sf0.001, sf0.01 AND sf0.1 via this
-script, the 4 new ones checked pairwise at all three sfs at add time.
+the graph-traversal + BM25 additions): all 102 queries
+match; the 97 pre-existing swept at sf0.001, sf0.01 AND sf0.1 via this
+script, the 5 new ones (graph_khop, graph_shortest_paths,
+graph_triangles, graph_pagerank, bm25_search) checked pairwise at all
+three sfs at add time.
 """
 
 from __future__ import annotations

@@ -59,14 +59,17 @@ def test_gate_order_covers_every_family_in_first_50():
     assert names[:50] == _GATE_ORDER
     # every family representative the r4 verdict called out as
     # driver-unseen (q3/q10 stay past 50 as same-family twins of q5/q18),
-    # plus the round-5 sketch family
+    # plus the round-5 sketch/graph/retrieval families. Former gate rows
+    # value_histogram / bigram_counts / truncate_pad moved past 50 as
+    # count-shaping / profiling / packing twins of histogram_counts /
+    # vocab_topk / pack_chunks when graph+bm25 displaced them.
     must_be_gated = {
         "q5_local_supplier_volume", "q18_large_volume_customers",
         "scd2_history", "cdc_change_feed", "session_window_stats",
-        "vocab_topk", "value_histogram", "bigram_counts", "truncate_pad",
-        "split_assignment", "length_quantiles", "redact_pii_docs",
-        "contamination_check", "curated_training_set",
+        "vocab_topk", "split_assignment", "length_quantiles",
+        "redact_pii_docs", "contamination_check", "curated_training_set",
         "kmv_distinct_users", "cms_token_counts",
+        "graph_shortest_paths", "graph_pagerank", "bm25_search",
     }
     assert must_be_gated <= set(names[:50])
     # oracle_sql() must follow the same order for the driver's zip-compare
