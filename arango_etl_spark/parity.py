@@ -4509,6 +4509,86 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# JSON document shredding (sources/readers.shred_json_column). The
+# reference's core job is decoding wire messages into JSON documents for
+# a document store (src/handler/arangodb_handler.rs decode + conversion);
+# these queries cover the inverse surface its users need back out: typed
+# extraction from an embedded JSON column, shredded ONCE map-side so
+# every downstream query gets pruned columnar scans.
+# --------------------------------------------------------------------------
+_JSON_SHRED_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("json_shred_props", _JSON_SHRED_SQL)
+def json_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shred events.props ({"k": n}) to a typed column, then the usual
+    partial-agg rollup per event_type. The shred is map-only; the one
+    shuffle carries (event_type, partial count/sum) only."""
+    from arango_etl_spark.sources.readers import shred_json_column
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    shredded = shred_json_column(ev, "props", "k BIGINT")
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
+
+
+_JSON_NESTED_SQL = """
+WITH j AS (
+    SELECT doc_id,
+           '{"id":' || CAST(doc_id AS VARCHAR)
+           || ',"tags":["' || source || '","' || lang
+           || '"],"meta":{"n":' || CAST(n_chars AS VARCHAR) || '}}' AS js
+    FROM documents
+)
+SELECT doc_id,
+       CAST(json_extract_string(js, '$.id') AS BIGINT) AS jid,
+       json_extract_string(js, '$.tags[0]') AS tag0,
+       json_extract_string(js, '$.tags[1]') AS tag1,
+       CAST(json_extract_string(js, '$.meta.n') AS BIGINT) AS meta_n
+FROM j
+"""
+
+
+@_register("json_nested_extract", _JSON_NESTED_SQL)
+def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-path extraction: a document JSON (built deterministically
+    from the documents columns so both engines parse the SAME bytes)
+    shredded with a nested schema — object field, array indexing, and a
+    sub-object path, all columnar from_json/getField (no UDF)."""
+    from arango_etl_spark.sources.readers import shred_json_column
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('{"id":'), F.col("doc_id").cast("string"),
+            F.lit(',"tags":["'), F.col("source"), F.lit('","'),
+            F.col("lang"), F.lit('"],"meta":{"n":'),
+            F.col("n_chars").cast("string"), F.lit("}}"),
+        ).alias("js"),
+    )
+    shredded = shred_json_column(
+        d, "js",
+        "id BIGINT, tags ARRAY<STRING>, meta STRUCT<n: BIGINT>",
+    )
+    return shredded.select(
+        "doc_id",
+        F.col("id").alias("jid"),
+        F.col("tags").getItem(0).alias("tag0"),
+        F.col("tags").getItem(1).alias("tag1"),
+        F.col("meta").getField("n").alias("meta_n"),
+    )
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
@@ -4567,12 +4647,14 @@ _GATE_ORDER = [
     # text analysis
     "token_stats",
     "quality_score",
-    "doc_fingerprint",
     "language_id_docs",
     "redact_pii_docs",
     "contamination_check",
     # text retrieval (BM25 keyword search — ArangoDB's search-view surface)
     "bm25_search",
+    # JSON document shredding (doc_fingerprint moved past 50 — the
+    # fingerprint family stays gated via simhash_docs)
+    "json_shred_props",
     # corpus profiling (value_histogram / bigram_counts are count-shaping
     # twins of histogram_counts / vocab_topk — past 50)
     "vocab_topk",

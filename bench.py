@@ -52,6 +52,8 @@ PARITY_QUERIES = [
     "source_overlap_matrix",      # NEW r5: shingle-keyed self-join
     "hll_distinct_users",         # NEW r5: HLL register sketch
     "bloom_point_lookup",         # NEW r5: CoW load + bloom build + pruned eq
+    "graph_pagerank",             # NEW r5: iterative frontier joins
+    "bm25_search",                # NEW r5: keyword retrieval top-k
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs

@@ -70,6 +70,7 @@ def test_gate_order_covers_every_family_in_first_50():
         "redact_pii_docs", "contamination_check", "curated_training_set",
         "kmv_distinct_users", "cms_token_counts",
         "graph_shortest_paths", "graph_pagerank", "bm25_search",
+        "json_shred_props",
     }
     assert must_be_gated <= set(names[:50])
     # oracle_sql() must follow the same order for the driver's zip-compare

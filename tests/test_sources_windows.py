@@ -313,3 +313,38 @@ def test_replay_quarantine_envelope_unknown_op_stays_bad(spark, tmp_path):
     got = replay.events.collect()
     assert len(got) == 1 and got[0]["doc_id"] == "b"
     assert replay.corrupt_count == 1     # the op="x" record
+
+
+def test_shred_json_column_types_and_quarantine(spark):
+    from arango_etl_spark.sources.readers import shred_json_column
+
+    rows = [
+        (1, '{"k": 7, "tag": "a"}'),        # clean
+        (2, '{"k": 9}'),                    # missing field -> null tag, clean
+        (3, 'not json at all'),             # malformed -> parked
+        (4, '{}'),                          # parseable but empty -> parked
+        (5, None),                          # null input -> null fields, NOT parked
+    ]
+    df = spark.createDataFrame(rows, "id bigint, props string")
+    out = shred_json_column(df, "props", "k BIGINT, tag STRING")
+    assert out.columns == ["id", "k", "tag", "_corrupt_json"]
+    got = {r.id: r for r in out.collect()}
+    assert got[1].k == 7 and got[1].tag == "a" and got[1]._corrupt_json is None
+    assert got[2].k == 9 and got[2].tag is None and got[2]._corrupt_json is None
+    assert got[3].k is None and got[3]._corrupt_json == "not json at all"
+    assert got[4]._corrupt_json == "{}"
+    assert got[5].k is None and got[5]._corrupt_json is None
+
+
+def test_shred_json_column_nested_schema(spark):
+    from arango_etl_spark.sources.readers import shred_json_column
+
+    df = spark.createDataFrame(
+        [(1, '{"id": 5, "tags": ["x", "y"], "meta": {"n": 3}}')],
+        "row bigint, js string",
+    )
+    out = shred_json_column(
+        df, "js", "id BIGINT, tags ARRAY<STRING>, meta STRUCT<n: BIGINT>"
+    ).collect()[0]
+    assert out.id == 5 and out.tags == ["x", "y"] and out.meta.n == 3
+    assert out._corrupt_json is None
