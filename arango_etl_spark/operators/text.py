@@ -272,7 +272,8 @@ def bm25_topk(
       shuffle volume is the query's posting lists, not the corpus;
     - N and avgdl are a 1-row aggregate joined by broadcast; per-term
       document frequencies aggregate FROM the postings (bounded by
-      #query_terms rows);
+      #query_terms rows) off the SAME materialized shuffle — one
+      tokenization pass, plan-asserted via ReusedExchange;
     - final top-k is TakeOrderedAndProject (per-partition k-row heaps,
       driver merge) — never a global sort or single-partition window.
 
@@ -300,7 +301,15 @@ def bm25_topk(
         .groupBy(id_col, "term", "dl")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    dfreq = postings.groupBy("term").agg(
+    # df must derive from the SAME physical postings subtree so the
+    # shuffle is computed once and reused (ReuseExchange / AQE stage
+    # reuse). A bare count() lets Catalyst prune `tf` out of this
+    # branch's partial aggregate, making the two subtrees canonically
+    # different — zero reuse, corpus tokenized twice (measured). The
+    # tf > 0 guard is semantically a no-op (tf >= 1 by construction)
+    # but unprovable to the optimizer, so `tf` survives pruning and
+    # both branches share one exchange.
+    dfreq = postings.where(F.col("tf") > 0).groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     score = (

@@ -173,3 +173,24 @@ def test_bm25_topk_cut_and_plan(spark):
     assert rows[0].score == max(r.score for r in rows)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_single_tokenization_pass(spark):
+    """The df branch must REUSE the postings shuffle, not re-tokenize
+    the corpus (static ReuseExchange; AQE applies the same reuse to its
+    runtime stages)."""
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, "merge window stream") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            bm25_topk(docs, ["merge", "window"], k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("ReusedExchange") >= 1, plan[:3000]
