@@ -4589,6 +4589,69 @@ def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# gapfill_locf_series — hypertable-style time_bucket_gapfill + locf
+# (operators/timeseries.resample_locf): dense 6h per-user grid over the
+# events table, empty buckets carried forward. The oracle mirrors the
+# exact same spine/fill semantics with generate_series + IGNORE NULLS
+# windows. Epochs floored before casting (DuckDB CAST rounds).
+# --------------------------------------------------------------------------
+_GAPFILL_SQL = """
+WITH obs AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 21600) AS BIGINT) AS b,
+           ts, event_id, value
+    FROM events
+), last_obs AS (
+    SELECT user_id, b, value FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                   PARTITION BY user_id, b
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM obs
+    ) WHERE rn = 1
+), rng AS (
+    SELECT min(b) AS lo, max(b) AS hi FROM obs
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series((SELECT lo FROM rng),
+                                  (SELECT hi FROM rng))) AS b
+    FROM (SELECT DISTINCT user_id FROM obs)
+)
+SELECT s.user_id,
+       s.b * 21600 AS bucket_epoch,
+       last_value(l.value IGNORE NULLS) OVER w AS value,
+       (l.value IS NULL
+        AND last_value(l.value IGNORE NULLS) OVER w IS NOT NULL) AS filled
+FROM spine s
+LEFT JOIN last_obs l ON l.user_id = s.user_id AND l.b = s.b
+WINDOW w AS (PARTITION BY s.user_id ORDER BY s.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("gapfill_locf_series", _GAPFILL_SQL)
+def gapfill_locf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.timeseries import resample_locf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        "event_id",
+    )
+    out = resample_locf(
+        ev, "user_id", "ts", "value", 21600, tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").cast("bigint").alias("bucket_epoch"),
+        "value",
+        "filled",
+    )
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",

@@ -7,11 +7,12 @@ are scale-independent (no thresholds or dims tuned to one sf).
 Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
-the graph-traversal + BM25 + JSON-shred additions): all 104 queries
-match; the 97 pre-existing swept at sf0.001, sf0.01 AND sf0.1 via this
-script, the 7 new ones (graph_khop, graph_shortest_paths,
-graph_triangles, graph_pagerank, bm25_search, json_shred_props,
-json_nested_extract) checked pairwise at all three sfs at add time.
+the graph/BM25/JSON-shred/gap-fill additions): all 105 queries
+match; 104 swept at sf0.01 via this script this round (97 pre-existing
+also swept at sf0.001 AND sf0.1), the 8 new ones (graph_khop,
+graph_shortest_paths, graph_triangles, graph_pagerank, bm25_search,
+json_shred_props, json_nested_extract, gapfill_locf_series) checked
+pairwise at all three sfs at add time.
 """
 
 from __future__ import annotations
