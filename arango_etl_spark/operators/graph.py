@@ -173,36 +173,81 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     per_node: bool = False,
+    orientation: str = "degree",
 ) -> DataFrame:
     """Triangle counting over the UNDIRECTED simple graph induced by
     ``edges``. Returns a 1-row (n_triangles) frame, or per-node
     participation counts (node, n_triangles) with ``per_node=True``.
 
-    Canonical-orientation join (the standard distributed algorithm):
-    orient every undirected edge low-id → high-id, then count paths
-    a<b<c where (a,b), (b,c), (a,c) all exist — each triangle counted
-    exactly once. Two shuffle joins on node keys; no enumeration of
-    non-edges, no cartesian anywhere. At cluster scale the id-ordering
-    is swapped for DEGREE ordering (orient toward the higher-degree
-    endpoint) so the join fan-out per node is O(sqrt(m)) even on
-    power-law graphs — same plan, different orientation key.
+    Orientation join (the standard distributed algorithm): orient every
+    undirected edge by a total node order into a DAG, enumerate wedges
+    from each node's out-neighbor pairs, keep the wedges closed by a
+    DAG edge — each triangle counted exactly once (it has exactly one
+    node with two out-edges in the DAG). The triangle SET is invariant
+    to which total order orients; the COST is not:
+
+    - ``orientation="degree"`` (default): order nodes by (degree, id).
+      Out-degree in the DAG is then O(sqrt(m)) for EVERY node, so the
+      wedge fan-out stays bounded on power-law graphs where a hub node
+      would explode an id-ordered join. Costs one degree aggregate +
+      two joins against it up front.
+    - ``orientation="id"``: order by id alone — cheaper setup, fine
+      when degree skew is bounded; also the literal form of the parity
+      oracle (which stays valid for both modes because the triangle
+      set is identical).
+
+    Two shuffle joins for the wedges/closure either way; no
+    enumeration of non-edges, no cartesian anywhere.
     """
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"orientation must be 'degree' or 'id': {orientation}")
     und = symmetrize(edges, src, dst)
-    canon = und.where(F.col("src") < F.col("dst"))
-    e1 = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    if orientation == "id":
+        dag = und.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("dst").alias("_ob"),  # order key = the id itself
+        )
+    else:
+        deg = und.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        pos = und.join(
+            deg.select(F.col("node").alias("src"), F.col("deg").alias("_ds")),
+            "src",
+        ).join(
+            deg.select(F.col("node").alias("dst"), F.col("deg").alias("_dd")),
+            "dst",
+        )
+        # DAG edge src->dst iff (deg, id) of src sorts first; each
+        # undirected edge survives exactly once (ids break deg ties)
+        dag = pos.where(
+            F.struct(F.col("_ds"), F.col("src"))
+            < F.struct(F.col("_dd"), F.col("dst"))
+        ).select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.struct(F.col("_dd"), F.col("dst")).alias("_ob"),
+        )
+    lo = dag.select("a", "b", "_ob")
+    hi = dag.select(
+        F.col("a"), F.col("b").alias("c"), F.col("_ob").alias("_oc")
+    )
+    wedges = (
+        lo.join(hi, "a")
+        .where(F.col("_ob") < F.col("_oc"))
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(dag.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"])
     if not per_node:
         return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    pernode = (
+    return (
         tri.select(F.col("a").alias("node"))
         .union(tri.select(F.col("b").alias("node")))
         .union(tri.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
-    return pernode
 
 
 def pagerank(

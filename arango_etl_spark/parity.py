@@ -4409,12 +4409,14 @@ GROUP BY node
 
 @_register("graph_triangles", _TRIANGLES_SQL)
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation via the canonical a<b<c
-    orientation join (each triangle counted once, no cartesian)."""
+    """Per-node triangle participation via the degree-ordered
+    orientation join (each triangle counted once, hub fan-out bounded
+    at O(sqrt(m)), no cartesian). The oracle uses the simpler id
+    ordering — valid because the triangle SET is orientation-invariant."""
     from arango_etl_spark.operators.graph import triangle_count
 
     edges = _copurchase_edges(spark, sf_dir)
-    return triangle_count(edges, per_node=True)
+    return triangle_count(edges, per_node=True, orientation="degree")
 
 
 _PAGERANK_ITER = """

@@ -94,6 +94,18 @@ def test_triangle_count_global_and_per_node(spark):
     assert triangle_count(e2).collect()[0].n_triangles == 2
 
 
+def test_triangle_orientations_agree(spark):
+    # K4 plus a pendant and a hub fan: 4 triangles from K4, 0 elsewhere.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    fan = [(9, i) for i in range(20, 30)] + [(4, 9)]
+    e = _edges(spark, k4 + fan)
+    for mode in ("degree", "id"):
+        got = triangle_count(e, per_node=True, orientation=mode).collect()
+        per = {r.node: r.n_triangles for r in got}
+        assert per == {1: 3, 2: 3, 3: 3, 4: 3}, (mode, per)
+    assert triangle_count(e, orientation="degree").collect()[0].n_triangles == 4
+
+
 def test_triangle_plan_has_no_cartesian(spark):
     plan = triangle_count(_edges(spark, _G))._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
