@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def resample_locf(
+def resample(
     events: DataFrame,
     key_col: str,
     ts_col: str,
@@ -42,15 +42,23 @@ def resample_locf(
     bucket_seconds: int,
     tiebreak_col: str | None = None,
     max_buckets: int = 1_000_000,
+    method: str = "locf",
 ) -> DataFrame:
     """Dense per-key time grid at ``bucket_seconds`` resolution over the
     input's global time range, with each bucket carrying the LAST
     observed value in that bucket (ties broken by ``tiebreak_col``) and
-    empty buckets forward-filled from the key's previous observation.
+    empty buckets filled per ``method``:
+
+    - ``"locf"`` (default): carried forward from the key's previous
+      observation (null before the first — nothing to carry);
+    - ``"linear"``: interpolated between the key's previous and next
+      observed buckets, ``v_prev + (v_next - v_prev) * Δb/ΔB``; null
+      outside the key's [first, last] observation span (no
+      extrapolation). Costs one extra per-key window pass (the
+      following-direction scan for the next observation).
 
     Returns (key_col, bucket_ts, value, filled): ``filled`` is true for
-    gap rows that carried a value forward; ``value`` is null only
-    before a key's first observation (nothing to carry).
+    gap rows the method produced a value for.
 
     Raises (at execution, via a lazy ``assert_true`` — building the
     plan launches ZERO jobs, the ivf_query discipline) if the global
@@ -95,7 +103,7 @@ def resample_locf(
         F.when(
             F.assert_true(
                 guard,
-                f"resample_locf: bucket range exceeds max_buckets="
+                f"resample: bucket range exceeds max_buckets="
                 f"{max_buckets}; widen bucket_seconds or raise the guard",
             ).isNull(),
             F.col("_hi"),
@@ -109,20 +117,46 @@ def resample_locf(
             F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_bucket"),
         )
     )
-    w_fill = (
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be 'locf' or 'linear': {method}")
+    w_back = (
         Window.partitionBy(key_col)
         .orderBy("_bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = spine.join(per_bucket, [key_col, "_bucket"], "left")
+    ts_out = F.timestamp_seconds(F.col("_bucket") * bucket_seconds).alias(
+        "bucket_ts"
+    )
+    if method == "locf":
+        fill = F.last("_v", ignorenulls=True).over(w_back)
+        return joined.select(
+            F.col(key_col),
+            ts_out,
+            fill.alias("value"),
+            (F.col("_v").isNull() & fill.isNotNull()).alias("filled"),
+        )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("_bucket"))
+    pv = F.last("_v", ignorenulls=True).over(w_back)
+    pb = F.last(obs_bucket, ignorenulls=True).over(w_back)
+    nv = F.first("_v", ignorenulls=True).over(w_fwd)
+    nb = F.first(obs_bucket, ignorenulls=True).over(w_fwd)
+    lerp = pv + (nv - pv) * (
+        (F.col("_bucket") - pb).cast("double") / (nb - pb).cast("double")
+    )
+    value = F.when(F.col("_v").isNotNull(), F.col("_v")).when(
+        pv.isNotNull() & nv.isNotNull(), lerp
+    )
     return joined.select(
         F.col(key_col),
-        F.timestamp_seconds(F.col("_bucket") * bucket_seconds).alias(
-            "bucket_ts"
+        ts_out,
+        value.alias("value"),
+        (F.col("_v").isNull() & pv.isNotNull() & nv.isNotNull()).alias(
+            "filled"
         ),
-        F.last("_v", ignorenulls=True).over(w_fill).alias("value"),
-        (
-            F.col("_v").isNull()
-            & F.last("_v", ignorenulls=True).over(w_fill).isNotNull()
-        ).alias("filled"),
     )

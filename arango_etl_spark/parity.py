@@ -4593,7 +4593,7 @@ def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # gapfill_locf_series — hypertable-style time_bucket_gapfill + locf
-# (operators/timeseries.resample_locf): dense 6h per-user grid over the
+# (operators/timeseries.resample): dense 6h per-user grid over the
 # events table, empty buckets carried forward. The oracle mirrors the
 # exact same spine/fill semantics with generate_series + IGNORE NULLS
 # windows. Epochs floored before casting (DuckDB CAST rounds).
@@ -4635,7 +4635,7 @@ WINDOW w AS (PARTITION BY s.user_id ORDER BY s.b
 
 @_register("gapfill_locf_series", _GAPFILL_SQL)
 def gapfill_locf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arango_etl_spark.operators.timeseries import resample_locf
+    from arango_etl_spark.operators.timeseries import resample
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -4643,13 +4643,91 @@ def gapfill_locf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "event_id",
     )
-    out = resample_locf(
+    out = resample(
         ev, "user_id", "ts", "value", 21600, tiebreak_col="event_id"
     )
     return out.select(
         "user_id",
         F.unix_timestamp("bucket_ts").cast("bigint").alias("bucket_epoch"),
         "value",
+        "filled",
+    )
+
+
+# --------------------------------------------------------------------------
+# interpolate_linear_series — the linear-interpolation mode of the same
+# resampler (timeseries.resample(method="linear")): gaps filled by the
+# line between the key's previous and next observed buckets, no
+# extrapolation outside the observation span. Lerp is float — both sides
+# round to 6 dp with the identical expression shape.
+# --------------------------------------------------------------------------
+_INTERP_SQL = """
+WITH obs AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 21600) AS BIGINT) AS b,
+           ts, event_id, value
+    FROM events
+), last_obs AS (
+    SELECT user_id, b, value FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (
+                   PARTITION BY user_id, b
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM obs
+    ) WHERE rn = 1
+), rng AS (
+    SELECT min(b) AS lo, max(b) AS hi FROM obs
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series((SELECT lo FROM rng),
+                                  (SELECT hi FROM rng))) AS b
+    FROM (SELECT DISTINCT user_id FROM obs)
+), g AS (
+    SELECT s.user_id, s.b, l.value AS v,
+           last_value(l.value IGNORE NULLS) OVER wb AS pv,
+           last_value(CASE WHEN l.value IS NOT NULL THEN s.b END
+                      IGNORE NULLS) OVER wb AS pb,
+           first_value(l.value IGNORE NULLS) OVER wf AS nv,
+           first_value(CASE WHEN l.value IS NOT NULL THEN s.b END
+                       IGNORE NULLS) OVER wf AS nb
+    FROM spine s
+    LEFT JOIN last_obs l ON l.user_id = s.user_id AND l.b = s.b
+    WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY s.user_id ORDER BY s.b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       b * 21600 AS bucket_epoch,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                       pv + (nv - pv) * (CAST(b - pb AS DOUBLE)
+                                         / CAST(nb - pb AS DOUBLE))
+             END, 6) AS value,
+       (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS filled
+FROM g
+"""
+
+
+@_register("interpolate_linear_series", _INTERP_SQL)
+def interpolate_linear_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        "event_id",
+    )
+    out = resample(
+        ev, "user_id", "ts", "value", 21600,
+        tiebreak_col="event_id", method="linear",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").cast("bigint").alias("bucket_epoch"),
+        F.round("value", 6).alias("value"),
         "filled",
     )
 
