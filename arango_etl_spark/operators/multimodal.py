@@ -295,3 +295,104 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=BMP_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------------ video
+# RAWV: a deterministic UNCOMPRESSED video container (11-byte header:
+# magic 'RAWV', <HHH> width/height/n_frames, <B> fps, then n_frames
+# contiguous 8-bit grayscale planes). Honest tier note: this is NOT
+# codec work — no ffmpeg-class library ships in this container
+# (decode_video_stub above stays the labeled stub for that path). What
+# RAWV makes REAL is the frame-sampling plumbing a training pipeline
+# needs at scale: binary header parse, per-frame strided slicing,
+# every-k-th-frame selection, numpy-vectorized per-frame stats, one
+# output row per sampled frame — all inside Arrow-batched mapInPandas
+# with the exact signature a real decoder drops into. The synthesis
+# formula is mirrored in a DuckDB oracle (parity.video_frame_sample) so
+# the decode is value-checked end-to-end like WAV/BMP.
+RAWV_MAGIC = b"RAWV"
+RAWV_HEADER = "<4sHHHB"  # magic, width, height, n_frames, fps
+RAWV_MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
+RAWV_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, "
+    "mean_lum double, min_lum int, max_lum int"
+)
+
+
+def synthesize_rawv(docs: DataFrame) -> DataFrame:
+    """Deterministic RAWV clip per doc: w = 8 + doc_id % 8, h = 8,
+    n_frames = 4 + doc_id % 4, pixel(f, y, x) = (doc_id*31 + f*17 +
+    y*5 + x*3) % 256 — built as one numpy broadcast per payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 8 + d % 8, 8, 4 + d % 4
+                f_ = np.arange(nf, dtype=np.int64)[:, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                px = ((d * 31 + f_ * 17 + y * 5 + x * 3) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(
+                    struct.pack(RAWV_HEADER, RAWV_MAGIC, w, h, nf, 12)
+                    + px.tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=RAWV_MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampling over RAWV payloads: parse the header, view the
+    body as an (n_frames, h, w) uint8 array (zero-copy frombuffer), keep
+    every ``every_k``-th frame, emit one row per kept frame with its
+    luminance stats (vectorized over the frame plane).
+
+    Scale shape: map-only (no shuffle), CPU-bound per Arrow batch — on a
+    real corpus partitions are sized by payload BYTES not row count, and
+    a codec decoder (ffmpeg bindings) replaces ``np.frombuffer`` with
+    the same per-row contract. Reference analogue: the per-record binary
+    decode loop, SURVEY.md S4."""
+    hdr_len = struct.calcsize(RAWV_HEADER)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "width", "height",
+                    "mean_lum", "min_lum", "max_lum",
+                )
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if len(p) < hdr_len:
+                    continue  # log-and-skip contract (SURVEY.md F8)
+                magic, w, h, nf, _fps = struct.unpack_from(RAWV_HEADER, p)
+                if magic != RAWV_MAGIC or len(p) != hdr_len + nf * h * w:
+                    continue  # log-and-skip contract (SURVEY.md F8)
+                frames = np.frombuffer(p, dtype=np.uint8, offset=hdr_len)
+                frames = frames.reshape(nf, h, w)[::every_k]
+                sums = frames.sum(axis=(1, 2), dtype=np.int64)
+                mins = frames.min(axis=(1, 2))
+                maxs = frames.max(axis=(1, 2))
+                for i, (s, lo, hi) in enumerate(zip(sums, mins, maxs)):
+                    out["doc_id"].append(int(d))
+                    out["frame_idx"].append(i * every_k)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_lum"].append(float(s) / (w * h))
+                    out["min_lum"].append(int(lo))
+                    out["max_lum"].append(int(hi))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RAWV_FEATURE_SCHEMA)

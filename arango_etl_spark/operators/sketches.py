@@ -347,3 +347,114 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
     return out.groupBy("row", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+# ------------------------------------------------------- bottom-k quantiles
+def _bk_k_smallest(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """k (hash, value) pairs with the smallest hashes per group, as an
+    array sorted by (h, v). Same two plan shapes as the KMV build:
+    WindowGroupLimit for grouped sketches, TakeOrderedAndProject for the
+    global one — never an unpartitioned window."""
+    pair = F.struct(F.col("_h").alias("h"), F.col("_v").alias("v"))
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+        kept = rows.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= k
+        )
+        return kept.groupBy(*group_cols).agg(
+            F.array_sort(F.collect_list(pair)).alias("bk_pairs")
+        )
+    return (
+        rows.orderBy("_h", "_v")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list(pair)).alias("bk_pairs"))
+    )
+
+
+def bk_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k quantile sketch: a deterministic uniform row sample —
+    the k rows whose ROW IDENTITY hashes smallest (Cohen & Kaplan,
+    "Summarizing data using bottom-k sketches", PODC 2007) — carrying
+    ``value_col``. Quantiles of the sample estimate quantiles of the
+    data with error ~ 1/sqrt(k); when a group has <= k rows the sample
+    IS the group and the estimate is exact.
+
+    Hashing the id (not the value) is what makes the sample uniform
+    over ROWS — duplicate values stay proportionally represented — and
+    what makes the sketch mergeable: bottom-k over disjoint parts
+    re-ranked together is bit-identical to bottom-k of the
+    concatenation (see :func:`bk_merge`), the same write-once/roll-up
+    property as the KMV/CMS/HLL family. Null values are excluded (a
+    null contributes nothing to a quantile).
+
+    Completes the deterministic sketch family: KMV/HLL answer "how many
+    distinct", CMS "how often", bottom-k "how is it distributed" — the
+    three table statistics a 100 TB curation pipeline keeps per
+    partition and merges at read time instead of rescanning data.
+
+    Returns group_cols + ``bk_pairs`` (array<struct<h,v>> sorted by
+    hash, len <= k). Feed to :func:`bk_quantiles` or :func:`bk_merge`.
+    """
+    group_cols = group_cols or []
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        _h(F.col(id_col)).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return _bk_k_smallest(rows, group_cols, k)
+
+
+def bk_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Merge bottom-k sketches built over DISJOINT inputs (per-day /
+    per-partition partials; ``group_cols`` is the post-merge grouping):
+    union the pairs, drop exact duplicates (the same row seen via two
+    partials), keep the k smallest hashes. Lossless — equals the sketch
+    of the concatenated inputs bit-for-bit."""
+    group_cols = group_cols or []
+    rows = (
+        sketches.select(*group_cols, F.explode("bk_pairs").alias("_p"))
+        .select(
+            *group_cols,
+            F.col("_p.h").alias("_h"),
+            F.col("_p.v").alias("_v"),
+        )
+        .distinct()
+    )
+    return _bk_k_smallest(rows, group_cols, k)
+
+
+def bk_quantiles(
+    sketches: DataFrame, probs: list[float], round_dp: int | None = 6
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sketch frame: for each prob p,
+    the sample value at 0-based index floor(p * (n_s - 1)) with the
+    sample sorted by (value, hash) — the lower-nearest-rank rule, chosen
+    because it is integer-exact and reproducible in any engine (no
+    interpolation-float divergence). Emits one ``q<pct>`` column per
+    prob (p=0.5 → ``q50``; fractional pcts like 0.999 → ``q99_9``)."""
+    by_value = F.array_sort(
+        F.transform(
+            "bk_pairs",
+            lambda s: F.struct(s["v"].alias("v"), s["h"].alias("h")),
+        )
+    )
+    n = F.size("bk_pairs")
+    out = sketches.withColumn("_byv", by_value)
+    for p in probs:
+        idx = F.floor(F.lit(float(p)) * (n - 1).cast("double")).cast("int") + 1
+        v = F.element_at("_byv", idx)["v"]
+        if round_dp is not None:
+            v = F.round(v, round_dp)
+        pct = f"{p * 100:g}".replace(".", "_")
+        out = out.withColumn(f"q{pct}", v)
+    return out.drop("_byv", "bk_pairs")

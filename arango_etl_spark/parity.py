@@ -4732,6 +4732,201 @@ def interpolate_linear_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# fanout_source_profiles — multi-sink fan-out ingest THROUGH THE ENGINE:
+# the same 5-batch change log as cdc_engine_replay is applied per batch to
+# TWO tables in one apply_fan_out call — the doc_id-keyed documents table
+# (identity projection) and a source-keyed profile table (the reference's
+# hotspot projection T14, /root/reference/src/document/hotspot.rs:28-78),
+# each under its own batch-id fence. Returned state: the PROFILE table
+# (the docs side is the already-gated cdc_engine_replay path); the oracle
+# reduces the raw event log declaratively — every event, including doc
+# deletes, is an observation of its source, LWW by seq_no.
+# --------------------------------------------------------------------------
+_FANOUT_SQL = f"""
+WITH ev AS (
+    SELECT
+        'doc_' || CAST(d.doc_id AS VARCHAR)          AS doc_id,
+        d.doc_id * 5 + t.k                           AS seq_no,
+        {n_tok_sql("d.doc_id", "d.doc_id*5 + t.k")}  AS n_tok,
+        d.source                                     AS source
+    FROM documents d CROSS JOIN generate_series(1, 5) t(k)
+)
+SELECT source,
+       arg_max(doc_id, seq_no) AS last_doc_id,
+       arg_max(n_tok, seq_no)  AS last_n_tok
+FROM ev GROUP BY source
+"""
+
+
+@_register("fanout_source_profiles", _FANOUT_SQL)
+def fanout_source_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from arango_etl_spark.functions.tokenizer import n_tok_expr, tokens_expr
+    from arango_etl_spark.operators.fanout import (
+        SinkSpec,
+        apply_fan_out,
+        source_profile_events,
+    )
+    from arango_etl_spark.plans.lakehouse import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ev = d.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    seq = F.col("doc_id") * 5 + F.col("k")
+    ev = ev.select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_key"),
+        seq.alias("seq_no"),
+        F.when(
+            F.pmod(F.col("doc_id") * 3 + F.col("k"), F.lit(11)) == 0, "delete"
+        ).otherwise(F.lit("update")).alias("op"),
+        tokens_expr(F.col("doc_id"), seq).alias("tokens"),
+        n_tok_expr(F.col("doc_id"), seq).alias("n_tok"),
+        F.col("source"),
+        (F.col("k") - 1).cast("long").alias("batch_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("event_ts"),
+    ).withColumnRenamed("doc_key", "doc_id")
+
+    root = tempfile.mkdtemp(prefix="parity_fanout_")
+    docs = SnapshotTable.create(
+        root + "/docs",
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                T.StructField("n_tok", T.IntegerType()),
+                T.StructField("source", T.StringType()),
+            ]
+        ),
+        key_col="doc_id",
+        n_buckets=16,
+    )
+    profiles = SnapshotTable.create(
+        root + "/profiles",
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("last_doc_id", T.StringType()),
+                T.StructField("last_n_tok", T.IntegerType()),
+            ]
+        ),
+        key_col="source",
+        n_buckets=4,
+    )
+    sinks = {
+        "docs": SinkSpec(docs, lambda df: df, compact_every=0),
+        "profiles": SinkSpec(profiles, source_profile_events, compact_every=0),
+    }
+    for b in range(5):
+        apply_fan_out(
+            spark, sinks, ev.where(F.col("batch_id") == b),
+            batch_id=b, stream_id="parity",
+        )
+    return profiles.read(spark).select("source", "last_doc_id", "last_n_tok")
+
+
+# --------------------------------------------------------------------------
+# bk_value_quantiles — bottom-k quantile sketch (operators/sketches.py):
+# a deterministic uniform row sample (k smallest md5-hashes of the row
+# id) whose sample quantiles estimate data quantiles with ~1/sqrt(k)
+# error and merge losslessly across shards. The oracle reproduces the
+# ENTIRE sketch math — hash ranking, sample cut, (value, hash) ordering,
+# lower-nearest-rank pick — so collisions/ties match bit-for-bit.
+# Completes the sketch family: KMV/HLL "how many distinct", CMS "how
+# often", bottom-k "how distributed".
+# --------------------------------------------------------------------------
+_BK_SQL = """
+WITH hashed AS (
+    SELECT event_type,
+        CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 9007199254740881 AS h,
+        CAST(value AS DOUBLE) AS v
+    FROM events WHERE value IS NOT NULL
+), kept AS (
+    SELECT event_type, h, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+    FROM hashed
+), sample AS (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM kept WHERE rn <= 128
+)
+SELECT event_type,
+       round(max(CASE WHEN vr = CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1
+                      THEN v END), 6) AS q50,
+       round(max(CASE WHEN vr = CAST(floor(0.9  * (n - 1)) AS BIGINT) + 1
+                      THEN v END), 6) AS q90,
+       round(max(CASE WHEN vr = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+                      THEN v END), 6) AS q99
+FROM sample GROUP BY event_type
+"""
+
+
+@_register("bk_value_quantiles", _BK_SQL)
+def bk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.sketches import bk_quantiles, bk_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return bk_quantiles(
+        bk_sample(ev, "value", "event_id", ["event_type"], k=128),
+        [0.5, 0.9, 0.99],
+    )
+
+
+# --------------------------------------------------------------------------
+# video_frame_sample — REAL frame sampling over the deterministic RAWV
+# container (operators/multimodal.py): header parse → (nf, h, w) numpy
+# view → every-2nd-frame per-frame luminance stats, one row per sampled
+# frame, inside Arrow-batched mapInPandas. The synthesis formula is
+# reproduced pixel-for-pixel in DuckDB (generate_series over f, y, x),
+# so encode+decode+sampling are value-checked end-to-end like WAV/BMP.
+# Codec decode (ffmpeg-class) remains the labeled stub — no codec libs
+# in this container; RAWV proves the Spark-side plumbing is real.
+# --------------------------------------------------------------------------
+_RAWV_SQL = """
+WITH params AS (
+    SELECT doc_id, 8 + doc_id % 8 AS w, 8 AS h, 4 + doc_id % 4 AS nf
+    FROM documents
+), frames AS (
+    -- static series + WHERE (DuckDB generate_series takes no lateral
+    -- column args): nf <= 7, w <= 15, h = 8 by construction
+    SELECT doc_id, w, h, f.f AS frame_idx
+    FROM params, generate_series(0, 6) f(f)
+    WHERE f.f < nf AND f.f % 2 = 0
+), px AS (
+    SELECT doc_id, frame_idx, w, h,
+           (doc_id*31 + frame_idx*17 + y.y*5 + x.x*3) % 256 AS v
+    FROM frames,
+         generate_series(0, 7) y(y),
+         generate_series(0, 14) x(x)
+    WHERE x.x < w
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(avg(v), 6) AS mean_lum,
+       CAST(min(v) AS INT) AS min_lum, CAST(max(v) AS INT) AS max_lum
+FROM px GROUP BY doc_id, frame_idx, w, h
+"""
+
+
+@_register("video_frame_sample", _RAWV_SQL)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_rawv,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    feats = sample_video_frames(synthesize_rawv(d), every_k=2)
+    return feats.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_lum", 6).alias("mean_lum"), "min_lum", "max_lum",
+    )
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
@@ -4746,12 +4941,15 @@ _GATE_ORDER = [
     # aggregations (§2.5)
     "set_accumulation",
     "histogram_counts",
-    # per-row transforms (§2.4)
+    # per-row transforms (§2.4; base64url_ids is the per-row string
+    # transform twin of edge_keys — past 50, check_oracles-swept)
     "explode_words",
     "edge_keys",
-    "base64url_ids",
     "ingest_latency",
     "geo_cell_enrich",
+    # multi-sink fan-out ingest (the reference's 4-collection populate
+    # loop, arangodb.rs:345-376 — per-sink fences through the engine)
+    "fanout_source_profiles",
     # analytics / TPC-H join trees (q3/q10 are same-family twins of
     # q5/q18 — past 50, still check_oracles-swept)
     "pricing_summary",
@@ -4787,12 +4985,15 @@ _GATE_ORDER = [
     # ANN family (brute-force top-k + IVF index)
     "cosine_topk_multi",
     "ivf_topk",
-    # text analysis
+    # text analysis (quality_score is the columnar-text-stats twin of
+    # token_stats — past 50, check_oracles-swept)
     "token_stats",
-    "quality_score",
     "language_id_docs",
     "redact_pii_docs",
     "contamination_check",
+    # time-series resampling (gap-filled buckets + LOCF; the linear-
+    # interpolation mode is the same-family twin past 50)
+    "gapfill_locf_series",
     # text retrieval (BM25 keyword search — ArangoDB's search-view surface)
     "bm25_search",
     # JSON document shredding (doc_fingerprint moved past 50 — the

@@ -71,6 +71,10 @@ def test_gate_order_covers_every_family_in_first_50():
         "kmv_distinct_users", "cms_token_counts",
         "graph_shortest_paths", "graph_pagerank", "bm25_search",
         "json_shred_props",
+        # round-5 continued: multi-sink fan-out + time-series resample
+        # (displaced base64url_ids / quality_score — string-transform and
+        # columnar-text-stats twins of edge_keys / token_stats)
+        "fanout_source_profiles", "gapfill_locf_series",
     }
     assert must_be_gated <= set(names[:50])
     # oracle_sql() must follow the same order for the driver's zip-compare

@@ -322,6 +322,41 @@ def test_bmp_features_spark(spark, docs):
         assert abs(r["mean_r"] - v[:, 2].mean()) < 1e-9
 
 
+def test_rawv_frame_sampling_exact(spark, docs):
+    """RAWV synth + frame sampling: every-2nd-frame selection, per-frame
+    stats recomputed directly from the synthesis formula, and the
+    log-and-skip contract on a corrupt payload."""
+    import numpy as np
+
+    feats = multimodal.sample_video_frames(
+        multimodal.synthesize_rawv(docs.limit(15).select("doc_id")),
+        every_k=2,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 15
+    for d, rows in by_doc.items():
+        w, h, nf = 8 + d % 8, 8, 4 + d % 4
+        want_frames = list(range(0, nf, 2))
+        assert sorted(r["frame_idx"] for r in rows) == want_frames
+        for r in rows:
+            f_ = r["frame_idx"]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            x = np.arange(w, dtype=np.int64)[None, :]
+            v = (d * 31 + f_ * 17 + y * 5 + x * 3) % 256
+            assert (r["width"], r["height"]) == (w, h)
+            assert abs(r["mean_lum"] - v.mean()) < 1e-9
+            assert (r["min_lum"], r["max_lum"]) == (v.min(), v.max())
+
+    # corrupt payloads (bad magic / truncated body) are skipped, not fatal
+    bad = spark.createDataFrame(
+        [(1, "video", b"JUNKxxxxxxxxxxxxxxx"), (2, "video", b"RAWV")],
+        multimodal.RAWV_MEDIA_SCHEMA,
+    )
+    assert multimodal.sample_video_frames(bad).count() == 0
+
+
 def test_near_dup_clusters_components(spark, docs):
     """Planted clone groups collapse to one cluster labeled by the min
     doc id; everything else labels itself; output covers every doc."""
@@ -945,6 +980,64 @@ def test_hll_merge_is_lossless(spark):
         sketches.hll_merge(per_shard, []), p=6
     ).collect()[0]["n_distinct_est"]
     assert est_merged == est_direct
+
+
+def test_bk_quantiles_accuracy_and_exact_path(spark):
+    """Bottom-k sample quantiles: within ~3/sqrt(k) of truth on 20k
+    uniform values at k=512; EXACT (nearest-rank of the full data) when
+    the group has <= k rows."""
+    from arango_etl_spark.operators import sketches
+
+    big = spark.range(0, 20_000).select(
+        F.concat(F.lit("e"), F.col("id")).alias("eid"),
+        (F.col("id").cast("double") / 20_000).alias("v"),
+    )
+    got = sketches.bk_quantiles(
+        sketches.bk_sample(big, "v", "eid", k=512), [0.5, 0.9]
+    ).collect()[0]
+    assert abs(got["q50"] - 0.5) < 0.14, got
+    assert abs(got["q90"] - 0.9) < 0.14, got
+
+    small = spark.range(0, 101).select(
+        F.concat(F.lit("e"), F.col("id")).alias("eid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    exact = sketches.bk_quantiles(
+        sketches.bk_sample(small, "v", "eid", k=512), [0.5, 0.99]
+    ).collect()[0]
+    assert exact["q50"] == 50.0  # floor(0.5*100) = 50
+    assert exact["q99"] == 99.0  # floor(0.99*100) = 99
+
+
+def test_bk_merge_is_lossless(spark):
+    """Bottom-k sketches over disjoint shards re-ranked together must be
+    bit-identical to the sketch of the full data — the roll-up property
+    shared with KMV/CMS/HLL (hash the ID, not the value: uniform over
+    rows, duplicates stay represented)."""
+    from arango_etl_spark.operators import sketches
+
+    full = spark.range(0, 4_000).select(
+        (F.col("id") % 3).alias("shard"),
+        F.concat(F.lit("e"), F.col("id")).alias("eid"),
+        (F.col("id") % 17).cast("double").alias("v"),  # heavy duplicates
+    )
+    direct = sketches.bk_sample(full, "v", "eid", k=128).collect()[0][
+        "bk_pairs"
+    ]
+    per_shard = sketches.bk_sample(full, "v", "eid", ["shard"], k=128)
+    merged = sketches.bk_merge(per_shard, [], k=128).collect()[0][
+        "bk_pairs"
+    ]
+    assert [tuple(p) for p in merged] == [tuple(p) for p in direct]
+    # nulls contribute nothing
+    with_nulls = spark.range(0, 4_000).select(
+        F.concat(F.lit("e"), F.col("id")).alias("eid"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise((F.col("id") % 17).cast("double"))
+        .alias("v"),
+    )
+    n = sketches.bk_sample(with_nulls, "v", "eid", k=10_000).collect()[0]
+    assert len(n["bk_pairs"]) == 4_000 - 800
 
 
 # ------------------------------------------- int8 quantization (round 5)
