@@ -4927,6 +4927,75 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dup_span_coverage — exact-substring (token k-gram span) dedup, the
+# tokens-payload flavor of Lee et al. 2022 (operators/tokenspan.py).
+# Token arrays are synthesized as sentence-pool concatenations (3-7
+# sentences of 8 tokens drawn from a 797-sentence pool), so documents
+# genuinely share multi-token spans and coverage varies per doc. k = 8
+# aligns with the sentence length: whole shared sentences always dup;
+# boundary-spanning grams dup only when consecutive sentence pairs
+# repeat. All-integer outputs (coverage as exact ppm via integer div).
+# --------------------------------------------------------------------------
+_DUPSPAN_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           flatten(list_transform(generate_series(1, 3 + doc_id % 5),
+             j -> list_transform(generate_series(1, 8),
+               i -> CAST((((doc_id*13 + j*11) % 797)*23 + i*7) % 50000
+                         AS INTEGER)))) AS tokens
+    FROM documents
+), g AS (
+    -- static series + WHERE (DuckDB generate_series takes no lateral
+    -- column args): n_tok <= 7*8 = 56 by construction -> pos <= 49
+    SELECT doc_id, p.p AS pos,
+           array_to_string(tokens[p.p:p.p+7], ',') AS gram_key
+    FROM d, generate_series(1, 49) p(p)
+    WHERE p.p <= len(tokens) - 7
+), dup AS (
+    SELECT gram_key FROM g GROUP BY gram_key
+    HAVING count(DISTINCT doc_id) >= 2
+), f AS (
+    SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram_key)
+), cov AS (
+    SELECT doc_id, count(DISTINCT i.i) AS covered
+    FROM f, generate_series(1, 56) i(i)
+    WHERE i.i BETWEEN f.pos AND f.pos + 7
+    GROUP BY doc_id
+), dp AS (
+    SELECT doc_id, count(*) AS dup_positions FROM f GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.tokens) AS INT) AS n_tok,
+       COALESCE(dp.dup_positions, 0) AS dup_positions,
+       COALESCE(cov.covered, 0) AS covered_tokens,
+       COALESCE(cov.covered, 0) * 1000000 // len(d.tokens) AS coverage_ppm
+FROM d LEFT JOIN dp USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
+@_register("dup_span_coverage", _DUPSPAN_SQL)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.tokenspan import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3) + F.pmod(F.col("doc_id"), F.lit(5))),
+                lambda j: F.transform(
+                    F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: F.pmod(
+                        F.pmod(F.col("doc_id") * 13 + j * 11, F.lit(797)) * 23
+                        + i * 7,
+                        F.lit(50000),
+                    ).cast("int"),
+                ),
+            )
+        ).alias("tokens"),
+    )
+    return duplicate_span_stats(docs, k=8, min_docs=2, mode="exact")
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
@@ -4974,13 +5043,15 @@ _GATE_ORDER = [
     # the ENGINE's read_changes path: MoR merge → manifest-pruned CDF)
     "scd2_history",
     "cdc_change_feed",
-    # dedup family (exact / MinHash-LSH / components / SimHash / Jaccard /
-    # embedding)
+    # dedup family (exact / MinHash-LSH / components / SimHash /
+    # exact-substring token spans / embedding; jaccard_pairs is the
+    # shingle-pair twin of minhash_lsh_candidates — past 50,
+    # check_oracles-swept)
     "exact_dedup_docs",
     "minhash_lsh_candidates",
     "neardup_clusters",
     "simhash_docs",
-    "jaccard_pairs",
+    "dup_span_coverage",
     "embedding_near_dups",
     # ANN family (brute-force top-k + IVF index)
     "cosine_topk_multi",
