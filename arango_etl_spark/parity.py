@@ -4996,6 +4996,52 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(docs, k=8, min_docs=2, mode="exact")
 
 
+# --------------------------------------------------------------------------
+# token_drift_by_source — per-source token-distribution drift vs the
+# whole corpus (operators/drift.py): total-variation distance as an
+# EXACT integer ppm (integer cross-products, closed-form absent-token
+# term), one wide (source, token) partial-agg shuffle + broadcast-only
+# joins after. The monitoring leg of the training-data pipeline.
+# --------------------------------------------------------------------------
+_DRIFT_SQL = f"""
+WITH d AS (
+    SELECT source, {tokens_sql("doc_id", "doc_id")} AS tokens FROM documents
+), tok AS (
+    SELECT source, unnest(tokens) AS tok FROM d
+), st AS (
+    SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok
+), t AS (
+    SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok
+), s AS (
+    SELECT source, sum(c_st) AS n_s, count(*) AS distinct_tokens
+    FROM st GROUP BY source
+), n AS (
+    SELECT sum(c_t) AS n_total FROM t
+), pres AS (
+    SELECT st.source,
+           sum(abs(st.c_st * n.n_total - t.c_t * s.n_s)) AS sum_abs_present,
+           sum(t.c_t) AS sum_ct_present
+    FROM st JOIN t USING (tok) JOIN s USING (source) CROSS JOIN n
+    GROUP BY st.source
+)
+SELECT s.source, s.n_s AS n_tokens, s.distinct_tokens,
+       CAST((p.sum_abs_present + s.n_s * (n.n_total - p.sum_ct_present))
+            * 1000000 // (2 * s.n_s * n.n_total) AS BIGINT) AS tv_ppm
+FROM s JOIN pres p USING (source) CROSS JOIN n
+"""
+
+
+@_register("token_drift_by_source", _DRIFT_SQL)
+def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.functions.tokenizer import tokens_expr
+    from arango_etl_spark.operators.drift import token_distribution_drift
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", tokens_expr(F.col("doc_id"), F.col("doc_id")).alias("tokens")
+    )
+    return token_distribution_drift(docs)
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",
