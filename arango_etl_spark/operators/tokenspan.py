@@ -150,9 +150,11 @@ def duplicate_span_stats(
             "n_tok",
             F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.expr("coalesce(covered_tokens, 0L) * 1000000L div n_tok").alias(
-                "coverage_ppm"
-            ),
+            # greatest(n_tok, 1): empty token arrays have zero coverage,
+            # not a division by zero (property-test-found)
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000L div greatest(n_tok, 1)"
+            ).alias("coverage_ppm"),
         )
     )
 

@@ -54,6 +54,8 @@ PARITY_QUERIES = [
     "bloom_point_lookup",         # NEW r5: CoW load + bloom build + pruned eq
     "graph_pagerank",             # NEW r5: iterative frontier joins
     "bm25_search",                # NEW r5: keyword retrieval top-k
+    "dup_span_coverage",          # NEW r5: exact-substring token-span dedup
+    "token_drift_by_source",      # NEW r5: per-source TV drift monitoring
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs
