@@ -1,0 +1,188 @@
+"""Product quantization (PQ) for embedding columns — Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search" (IEEE TPAMI): split
+each vector into ``m`` subvectors, learn a small per-subspace codebook,
+store each vector as ``m`` byte-sized code ids, and answer top-k queries
+against the CODES instead of the raw vectors.
+
+Beyond-reference surface, completing the ANN ladder next to brute-force
+cosine and IVF (operators/similarity.py). What PQ buys at 100 TB is
+**scan compression**: a 64-dim float32 embedding is 256 bytes, its PQ
+code (m=8, ksub=16) is 8 small ints — the candidate scan reads ~32×
+fewer bytes, which is the whole cost of a Spark ANN pass (IO-bound
+columnar scan). The classic per-query LUT trick (precompute m×ksub
+distances, then sum table lookups) is a CPU-side refinement a pandas-UDF
+kernel would add; the JVM expression form below already gets the IO win
+and stays whole-stage-codegen.
+
+Exactness contract: PQ here runs over INTEGER vectors (compose with
+``similarity.quantize_embeddings`` — int8 symmetric quantization), so
+every distance is an exact int64 sum of squared differences: argmin
+encoding, ADC distances, and top-k ties are bit-identical in Spark and
+the DuckDB oracle, with none of the float-fold jitter the cosine family
+documents. Ties break to the lowest code id / lowest vec id in both
+engines (strict ``<`` left fold).
+
+Plan shape:
+- BUILD: one distributed ``orderBy(md5(id)).limit(ksub)`` seed scan
+  (TakeOrderedAndProject, the same hash-seeded determinism as IVF);
+  codebooks are a driver-side constant of m × ksub × dsub small ints.
+- ENCODE: map-only — per subspace an aggregate over ksub literal
+  centroids keeping (best_dist, best_code); no shuffle, no UDF.
+- QUERY (ADC): map-only distance over the codes table + the distributed
+  two-phase top-k (WindowGroupLimit pre-filter keyed by the REAL
+  spark_partition_id column, then a bounded array_sort merge — the
+  similarity._topk_per_query shape, specialized to integer distances).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arango_etl_spark.operators.similarity import _portable_hash60_str
+
+
+def _lit_int_matrix(rows: list[list[int]]) -> str:
+    """SQL literal for array<array<int>> — one parsed expression, no
+    per-element py4j round trips (see similarity._lit_array)."""
+    inner = ",".join(
+        "array(" + ",".join(str(int(x)) for x in r) + ")" for r in rows
+    )
+    return f"array({inner})"
+
+
+@dataclass
+class PqIndex:
+    codebooks: list[list[list[int]]]  # m × ksub × dsub
+    codes: DataFrame  # (id_col, codes: array<int> length m)
+    id_col: str
+    dsub: int
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two int arrays (zip_with +
+    aggregate left fold — deterministic in any engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _encode_expr(vec_col: str, codebooks: list[list[list[int]]], dsub: int) -> Column:
+    """codes[j] = argmin_c sqL2(vec[j*dsub : (j+1)*dsub], codebook_j[c]).
+
+    array_min over (dist, code) structs: lexicographic struct order makes
+    ties break to the lowest code id, and each candidate distance is
+    evaluated exactly once (a when()-fold would evaluate it twice)."""
+    codes = []
+    for j, cb in enumerate(codebooks):
+        cb_lit = F.expr(_lit_int_matrix(cb))
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        best = F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+                lambda c: F.struct(
+                    _sq_l2(sub, F.element_at(cb_lit, c + 1)).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+        )
+        codes.append(best["c"])
+    return F.array(*codes)
+
+
+def build_pq_index(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+) -> PqIndex:
+    """Train codebooks from the ksub vectors with the smallest portable
+    md5-of-id (deterministic, reproducible in SQL), then encode the
+    whole table map-only. Requires dim % m == 0."""
+    seeds = (
+        emb.select(id_col, vec_col, _portable_hash60_str(F.col(id_col)).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("cannot build PQ index from an empty table")
+    dim = len(seeds[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = [
+        [[int(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]] for r in seeds]
+        for j in range(m)
+    ]
+    codes = emb.select(
+        F.col(id_col), _encode_expr(vec_col, codebooks, dsub).alias("codes")
+    )
+    return PqIndex(codebooks, codes, id_col, dsub)
+
+
+def _adc_expr(index: PqIndex, qvec_col: str) -> Column:
+    """Asymmetric distance: sum_j sqL2(query_sub_j, codebook_j[codes[j]]).
+    Integer-exact; the codebook row is selected per stored code."""
+    total = F.lit(0).cast("long")
+    for j, cb in enumerate(index.codebooks):
+        cb_lit = F.expr(_lit_int_matrix(cb))
+        sub = F.slice(F.col(qvec_col), j * index.dsub + 1, index.dsub)
+        total = total + _sq_l2(
+            sub, F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        )
+    return total
+
+
+def pq_topk(
+    index: PqIndex,
+    query: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+    single_query: bool = False,
+) -> DataFrame:
+    """Top-k by ascending integer ADC distance, ties to the lowest id.
+
+    single_query=True -> global TakeOrderedAndProject (no shuffle);
+    multi-query -> two-phase top-k (WindowGroupLimit keyed by the real
+    spark_partition_id column, bounded array_sort merge)."""
+    id_col = index.id_col
+    scored = index.codes.crossJoin(
+        F.broadcast(query.select(query_id_col, qvec_col))
+    ).select(query_id_col, id_col, _adc_expr(index, qvec_col).alias("_d"))
+    if single_query:
+        return (
+            scored.orderBy(F.col("_d").asc(), F.col(id_col).asc())
+            .limit(k)
+            .select(query_id_col, id_col, F.col("_d").alias("adc_dist"))
+        )
+    local_w = Window.partitionBy("_pid", query_id_col).orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    local = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(local_w))
+        .where(F.col("_rk") <= k)
+    )
+    merged = local.groupBy(query_id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_d").alias("_d"), F.col(id_col).alias("_id"))
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return merged.select(query_id_col, F.explode("_top").alias("_t")).select(
+        query_id_col,
+        F.col("_t._id").alias(id_col),
+        F.col("_t._d").alias("adc_dist"),
+    )

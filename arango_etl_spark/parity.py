@@ -5042,6 +5042,82 @@ def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_distribution_drift(docs)
 
 
+# --------------------------------------------------------------------------
+# pq_topk_multi — product-quantization ANN over int8-quantized embeddings
+# (operators/pq.py, Jégou et al. 2011): hash-seeded codebooks, map-only
+# argmin encoding, integer-exact ADC distances, distributed two-phase
+# top-k. Composes quantize_embeddings (the oracle reproduces its formula)
+# so EVERY number here — codes, distances, ties — is exact int64 in both
+# engines; none of the cosine family's float-fold jitter.
+# --------------------------------------------------------------------------
+_PQ_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+), qz AS (
+    SELECT vec_id,
+           list_transform(vd, x -> CAST(round(x / sc) AS INTEGER)) AS qvec
+    FROM (SELECT vec_id, vd,
+                 greatest(list_max(list_transform(vd, x -> abs(x))) / 127.0,
+                          1e-30) AS sc
+          FROM v)
+), seeds AS (
+    SELECT row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT), vec_id
+           ) AS c, qvec
+    FROM qz
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT), vec_id
+    LIMIT 16
+), cand AS (
+    -- per (vector, subspace, candidate code): exact int squared L2
+    SELECT z.vec_id, j.j, s.c,
+           list_sum(list_transform(generate_series(1, 8), i ->
+               (z.qvec[(j.j-1)*8 + i] - s.qvec[(j.j-1)*8 + i])
+             * (z.qvec[(j.j-1)*8 + i] - s.qvec[(j.j-1)*8 + i]))) AS d
+    FROM qz z, generate_series(1, 8) j(j), seeds s
+), code AS (
+    SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM cand
+    ) WHERE rn = 1
+), queries AS (
+    SELECT vec_id AS query_id, qvec AS qq FROM qz WHERE vec_id IN (0, 1, 2)
+), adc AS (
+    SELECT qu.query_id, co.vec_id,
+           sum(list_sum(list_transform(generate_series(1, 8), i ->
+               (qu.qq[(co.j-1)*8 + i] - s.qvec[(co.j-1)*8 + i])
+             * (qu.qq[(co.j-1)*8 + i] - s.qvec[(co.j-1)*8 + i])))) AS dist
+    FROM code co JOIN seeds s ON s.c = co.c
+    CROSS JOIN queries qu
+    GROUP BY qu.query_id, co.vec_id
+)
+SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist FROM (
+    SELECT query_id, vec_id, dist AS adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, vec_id) AS rn
+    FROM adc
+) WHERE rn <= 10
+"""
+
+
+@_register("pq_topk_multi", _PQ_SQL)
+def pq_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.pq import build_pq_index, pq_topk
+    from arango_etl_spark.operators.similarity import quantize_embeddings
+
+    qz = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec"
+    )
+    index = build_pq_index(qz, m=8, ksub=16)
+    queries = qz.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    return pq_topk(index, queries, k=10)
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",

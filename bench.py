@@ -56,6 +56,7 @@ PARITY_QUERIES = [
     "bm25_search",                # NEW r5: keyword retrieval top-k
     "dup_span_coverage",          # NEW r5: exact-substring token-span dedup
     "token_drift_by_source",      # NEW r5: per-source TV drift monitoring
+    "pq_topk_multi",              # NEW r5: product-quantization ANN (ADC)
 ]
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs

@@ -8,15 +8,15 @@ Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
 the graph/BM25/JSON-shred/gap-fill/fan-out/sketch/video/token-span
-additions): all 111 queries match; 104 swept at sf0.01 via this script
-this round (97 pre-existing also swept at sf0.001 AND sf0.1), the 14
+additions): all 112 queries match; 104 swept at sf0.01 via this script
+this round (97 pre-existing also swept at sf0.001 AND sf0.1), the 15
 newer ones (graph_khop, graph_shortest_paths, graph_triangles,
 graph_pagerank, bm25_search, json_shred_props, json_nested_extract,
 gapfill_locf_series, interpolate_linear_series, fanout_source_profiles,
 bk_value_quantiles, video_frame_sample, dup_span_coverage,
-token_drift_by_source) checked pairwise at sf0.01 at add time (the last
-two also at sf0.001); a full-sweep re-run of this script supersedes
-this note.
+token_drift_by_source, pq_topk_multi) checked pairwise at sf0.01 at add
+time (the last three also at sf0.001); a full-sweep re-run of this
+script supersedes this note.
 """
 
 from __future__ import annotations
