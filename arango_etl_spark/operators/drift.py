@@ -38,47 +38,102 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def token_distribution_drift(
-    df: DataFrame,
-    tokens_col: str = "tokens",
-    group_col: str = "source",
-) -> DataFrame:
-    """Per-group token-distribution TV distance vs the whole corpus.
-
-    Returns (group_col, n_tokens, distinct_tokens, tv_ppm) with
-    tv_ppm = floor(1e6 * TV) computed in exact integer arithmetic.
-    """
-    tok = df.select(group_col, F.explode(tokens_col).alias("tok"))
-    st = tok.groupBy(group_col, "tok").agg(F.count("*").alias("c_st"))
-
-    per_token = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
-    per_group = st.groupBy(group_col).agg(
-        F.sum("c_st").alias("n_s"), F.count("*").alias("distinct_tokens")
+def token_baseline(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(tok, c_t) reference histogram — train it once on the trusted
+    corpus, broadcast it against every monitored slice/window."""
+    return (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_t"))
     )
-    total = per_token.agg(F.sum("c_t").alias("n_total"))
 
+
+def tv_vs_baseline(
+    counts: DataFrame, baseline: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """TV distance of each group's token counts vs a reference histogram.
+
+    ``counts``: (group_cols..., tok, c); ``baseline``: (tok, c_t).
+    Tokens unseen by the baseline contribute with c_t = 0; baseline
+    tokens absent from a group contribute in closed form — neither set
+    of missing pairs is materialized. Output per group:
+    (group_cols..., n_tokens, distinct_tokens, tv_ppm) with tv_ppm an
+    EXACT integer (see module docstring for the int64 bound)."""
+    total = baseline.agg(F.sum("c_t").alias("n_total"))
+    per_group = counts.groupBy(*group_cols).agg(
+        F.sum("c").alias("n_s"), F.count("*").alias("distinct_tokens")
+    )
     present = (
-        st.join(F.broadcast(per_token), "tok")
-        .join(F.broadcast(per_group), group_col)
+        counts.join(F.broadcast(baseline), "tok", "left")
+        .withColumn("c_t", F.coalesce("c_t", F.lit(0)))
+        .join(F.broadcast(per_group), group_cols)
         .crossJoin(F.broadcast(total))
-        .groupBy(group_col)
+        .groupBy(*group_cols)
         .agg(
-            F.sum(F.abs(F.col("c_st") * F.col("n_total") - F.col("c_t") * F.col("n_s"))).alias(
-                "sum_abs_present"
-            ),
+            F.sum(
+                F.abs(F.col("c") * F.col("n_total") - F.col("c_t") * F.col("n_s"))
+            ).alias("sum_abs_present"),
             F.sum("c_t").alias("sum_ct_present"),
         )
     )
     return (
-        per_group.join(present, group_col)
+        per_group.join(present, group_cols)
         .crossJoin(F.broadcast(total))
         .select(
-            group_col,
+            *group_cols,
             F.col("n_s").alias("n_tokens"),
             "distinct_tokens",
             F.expr(
                 "(sum_abs_present + n_s * (n_total - sum_ct_present)) * 1000000"
                 " div (2 * n_s * n_total)"
             ).alias("tv_ppm"),
+        )
+    )
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-distribution TV distance vs the whole corpus
+    (self-baseline: the reference histogram is the corpus itself).
+
+    Returns (group_col, n_tokens, distinct_tokens, tv_ppm) with
+    tv_ppm = floor(1e6 * TV) computed in exact integer arithmetic.
+    Groups whose rows carry only empty token arrays produce no output
+    row (there is no distribution to compare).
+    """
+    counts = (
+        df.select(group_col, F.explode(tokens_col).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    baseline = counts.groupBy("tok").agg(F.sum("c").alias("c_t"))
+    return tv_vs_baseline(counts, baseline, [group_col])
+
+
+def windowed_token_counts(
+    stream: DataFrame,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming half of drift monitoring: watermarked per-(window,
+    group, token) counts — a single append-mode streaming aggregation
+    with state bounded by the watermark horizon. Sink these, then run
+    :func:`tv_vs_baseline` over the sink with group_cols
+    ``["window_start", group_col]`` as the batch finishing step (the TV
+    reduction is a second aggregation, which append-mode streaming
+    cannot chain — the same split the rollup maintainer uses)."""
+    src = stream.withWatermark(ts_col, watermark) if stream.isStreaming else stream
+    return (
+        src.select(ts_col, group_col, F.explode(tokens_col).alias("tok"))
+        .groupBy(F.window(ts_col, window), group_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"), group_col, "tok", "c"
         )
     )
