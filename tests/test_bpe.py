@@ -108,6 +108,35 @@ def test_bpe_matches_python_reference(spark, docs):
     assert got == expect
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_arrow_encoder_matches_expression_encoder(spark, docs):
+    """The production mapInPandas encoder and the expression encoder must
+    agree on TRAINED merge tables (rank order == creation order)."""
+    from arango_etl_spark.operators.bpe import bpe_encode_arrow
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, tokens array<int>"
+    )
+    merges = bpe_train(df, n_merges=5)
+    expr = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, merges).collect()}
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_arrow(df, merges).collect()
+    }
+    assert arrow == expr
+
+
 def test_bpe_encode_16_merges_is_one_projection(spark):
     # encoder must stay a single map-only plan even at 16 chained merges
     from arango_etl_spark.plans import explain
