@@ -534,3 +534,75 @@ def quantize_embeddings(
             F.col("_vd"), lambda x: F.round(x / F.col("_scale")).cast("int")
         ).alias("qvec"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    shape (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus into
+    ``n_cells`` cells, compare pairs ONLY within a cell, and drop items
+    whose cosine similarity to another cell member exceeds ``threshold``.
+    Clustering is what makes the quadratic step tractable: pairwise cost
+    falls from O(N²) to O(N²/K) and each cell's pairs co-locate in one
+    shuffle partition, so K scales the operator to corpus sizes where
+    global pairwise comparison is impossible.
+
+    Keep policy (deterministic, recursion-free): an item is dropped iff
+    a SMALLER-ID item in its cell is threshold-similar — pairwise
+    dominance by ascending id. On chain-shaped duplicate groups this is
+    more aggressive than keep-one-per-connected-component (A~B, B~C,
+    A≁C drops both B and C; CC keeps C): dominance needs no iterative
+    closure, so the FULL pipeline has a DuckDB oracle
+    (parity:semantic_dedup_keep), while the CC policy is already served
+    by ``dedup.near_dup_clusters`` + ``near_dup_representatives`` when
+    transitive grouping is wanted. SemDeDup's own keep rule (lowest
+    sim-to-centroid survives) differs only in WHICH member survives;
+    the dedup set size is policy-independent for clique-shaped groups,
+    which is what near-duplicate embeddings overwhelmingly form.
+
+    Execution shape (100 TB): cell assignment is the IVF build's
+    map-only argmax over centroid literals (one TakeOrdered scan for
+    seeds, optional Lloyd rounds — ``refine_iters``, non-oracle mode —
+    for balanced cells on skewed corpora). The pair step shuffles both
+    sides on ``cell`` once (self-equi-join; AQE handles residual skew),
+    keeps only (b < a) ∧ (sim ≥ τ) pairs, reduces to DISTINCT dropped
+    ids, and left-joins the flag back — so the corpus is scanned twice
+    and shuffled once, with no UDF anywhere (dot products are codegen'd
+    ``aggregate`` folds). Returns (id_col, cell, kept); filter
+    ``kept`` for the surviving corpus.
+    """
+    index = build_ivf_index(
+        embeddings, n_centroids=n_cells, id_col=id_col, vec_col=vec_col,
+        refine_iters=refine_iters,
+    )
+    left = index.clustered.select(
+        F.col(id_col).alias("_a"),
+        F.col("_cluster").alias("cell"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = index.clustered.select(
+        F.col(id_col).alias("_b"),
+        F.col("_cluster").alias("cell"),
+        F.col(vec_col).alias("_vb"),
+    )
+    va, vb = F.col("_va"), F.col("_vb")  # _dot casts per element
+    sim = _dot(va, vb) / (_norm(va) * _norm(vb))
+    dropped = (
+        left.join(right, "cell")
+        .where(F.col("_b") < F.col("_a"))
+        .where(sim >= F.lit(float(threshold)))
+        .select(F.col("_a").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return index.clustered.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("_cluster").alias("cell"),
+        F.col("_dup").isNull().alias("kept"),
+    )

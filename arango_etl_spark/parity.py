@@ -5118,6 +5118,66 @@ def pq_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(index, queries, k=10)
 
 
+# --------------------------------------------------------------------------
+# 113. semantic_dedup_keep — SemDeDup-shaped embedding dedup (Abbas et al.
+# 2023): IVF-cell clustering bounds the pairwise step to within-cell
+# comparisons; an item is dropped iff a smaller-id cell member is
+# threshold-similar (pairwise dominance — recursion-free, so the FULL
+# pipeline incl. centroid seeding and argmax assignment mirrors in DuckDB;
+# the transitive-component keep policy is covered by neardup_clusters).
+# τ=0.3 sits above the synthetic corpus's intra-cell p99 (~0.34 max 0.49 at
+# sf0.01) so the output has a real kept/dropped mix without manufacturing
+# near-identical vectors.
+# --------------------------------------------------------------------------
+_SEMDEDUP_SQL = """
+WITH h AS (
+    SELECT vec_id, embedding,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS hh
+    FROM embeddings
+), cent AS (
+    SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+           embedding AS ce
+    FROM h ORDER BY hh, vec_id LIMIT 16
+), assign AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(c.ce AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(c.ce AS DOUBLE[]),
+                                                   CAST(c.ce AS DOUBLE[]))))
+                        DESC, c.cid ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+), a1 AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1)
+SELECT x.vec_id, CAST(x.cid AS INTEGER) AS cell,
+       NOT EXISTS (
+           SELECT 1 FROM a1 y
+           WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+             AND list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                  CAST(y.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+                                          CAST(x.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[]))))
+                 >= 0.3
+       ) AS kept
+FROM a1 x
+"""
+
+
+@_register("semantic_dedup_keep", _SEMDEDUP_SQL)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_cells=16, threshold=0.3
+    )
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",

@@ -303,6 +303,44 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             queries["ivf_topk"] = round(time.monotonic() - t0, 3)
 
+            # BPE over the tokens payload (the graft's token axis):
+            # train on a deterministic 5% sample (standard practice —
+            # vocabularies fit on a corpus subset; bounds the R-shuffle
+            # iterative cost), then encode the FULL corpus in ONE
+            # Arrow-batched map stage (bpe_encode_arrow) — the map-only
+            # pass a production retokenization pays per corpus scan.
+            from arango_etl_spark.functions.tokenizer import tokens_expr
+            from arango_etl_spark.operators.bpe import (
+                bpe_encode_arrow,
+                bpe_train,
+            )
+
+            # byte-level view (token % 256): BPE merge training starts
+            # from a small base alphabet (256 bytes); over the raw 50k
+            # synthetic vocab every adjacent pair is unique and training
+            # stops at zero merges — the fold makes the measured legs
+            # exercise real merge discovery + application.
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            toks = docs.select(
+                "doc_id",
+                F.transform(
+                    tokens_expr(F.col("doc_id"), F.lit(0)),
+                    lambda t: F.pmod(t, F.lit(256)).cast("int"),
+                ).alias("tokens"),
+            )
+            sample = toks.where(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            # train cost = R × (pair-count shuffle + 1-row TakeOrdered +
+            # localCheckpoint) over the SAMPLE — fixed per-round job
+            # latency, not data-scaled; the encode leg is the one that
+            # scales with the corpus.
+            t0 = time.monotonic()
+            merges = bpe_train(sample, n_merges=8)
+            queries["bpe_train_8"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            bpe_encode_arrow(toks, merges).write.format("noop") \
+                .mode("overwrite").save()
+            queries["bpe_encode_arrow"] = round(time.monotonic() - t0, 3)
+
         total = round(sum(queries.values()), 3)
         print(json.dumps({
             "metric": "headline_total_sec",

@@ -16,7 +16,10 @@ gapfill_locf_series, interpolate_linear_series, fanout_source_profiles,
 bk_value_quantiles, video_frame_sample, dup_span_coverage,
 token_drift_by_source, pq_topk_multi) checked pairwise at sf0.01 at add
 time (the last three also at sf0.001); a full-sweep re-run of this
-script supersedes this note.
+script supersedes this note. 2026-08-18: full sweep of all 112 at
+sf0.01 green post-BPE-arrow; semantic_dedup_keep added (113th pair,
+checked pairwise at sf0.01 at add time: 500 rows, 350 kept, 0 cell or
+kept mismatches).
 """
 
 from __future__ import annotations

@@ -1104,3 +1104,62 @@ def test_minhash_fast_mode_finds_planted_near_dups(spark):
     assert (1, 3) not in found and (2, 3) not in found
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "md5" not in plan and "xxhash64" in plan, plan[:2000]
+
+
+# --------------------------------------------------------- semantic dedup
+def test_semantic_dedup_planted_groups(spark):
+    """Cliques of identical vectors keep exactly the min-id member;
+    singletons survive."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(
+            df, n_cells=1, threshold=0.99
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_semantic_dedup_dominance_on_chains(spark):
+    """The documented keep policy: on a chain A~B, B~C, A!~C dominance
+    drops BOTH B and C (a CC policy would keep C) — pinned so the
+    oracle-expressible semantics never silently drift toward the
+    iterative one."""
+    import math
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    df = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(25)), (3, vec(50))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(
+            df, n_cells=1, threshold=0.9
+        ).collect()
+    }
+    # sim(1,2)=cos25≈.906>=τ, sim(2,3)=cos25>=τ, sim(1,3)=cos50≈.64<τ
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_no_python_udf_and_cell_join(spark, emb):
+    """Whole pipeline stays JVM-side (no BatchEvalPython / PythonUDF)
+    and the pair step is an equi-join on the cell key, not a cartesian."""
+    from arango_etl_spark.plans.explain import physical_plan
+
+    plan = physical_plan(similarity.semantic_dedup(emb, n_cells=8,
+                                                   threshold=0.3))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
