@@ -126,36 +126,36 @@ def build_pq_index(
     return PqIndex(codebooks, codes, id_col, dsub)
 
 
-def _adc_expr(index: PqIndex, qvec_col: str) -> Column:
+def _adc_expr(index, qvec) -> Column:
     """Asymmetric distance: sum_j sqL2(query_sub_j, codebook_j[codes[j]]).
-    Integer-exact; the codebook row is selected per stored code."""
+    Integer-exact; the codebook row is selected per stored code.
+    ``index`` needs only .codebooks/.dsub (PqIndex or IvfPqIndex);
+    ``qvec`` is a column name or Column (IVFADC passes the per-cell
+    query RESIDUAL expression)."""
+    qv = F.col(qvec) if isinstance(qvec, str) else qvec
     total = F.lit(0).cast("long")
     for j, cb in enumerate(index.codebooks):
         cb_lit = F.expr(_lit_int_matrix(cb))
-        sub = F.slice(F.col(qvec_col), j * index.dsub + 1, index.dsub)
+        sub = F.slice(qv, j * index.dsub + 1, index.dsub)
         total = total + _sq_l2(
             sub, F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1)
         )
     return total
 
 
-def pq_topk(
-    index: PqIndex,
-    query: DataFrame,
-    k: int = 10,
-    query_id_col: str = "query_id",
-    qvec_col: str = "qvec",
-    single_query: bool = False,
+def _topk_by_distance(
+    scored: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    single_query: bool,
 ) -> DataFrame:
-    """Top-k by ascending integer ADC distance, ties to the lowest id.
-
-    single_query=True -> global TakeOrderedAndProject (no shuffle);
-    multi-query -> two-phase top-k (WindowGroupLimit keyed by the real
-    spark_partition_id column, bounded array_sort merge)."""
-    id_col = index.id_col
-    scored = index.codes.crossJoin(
-        F.broadcast(query.select(query_id_col, qvec_col))
-    ).select(query_id_col, id_col, _adc_expr(index, qvec_col).alias("_d"))
+    """Shared top-k tail over a (query_id, id, _d) frame: ascending
+    integer distance, ties to the lowest id. single_query=True ->
+    global TakeOrderedAndProject (no shuffle); multi-query -> two-phase
+    top-k (WindowGroupLimit keyed by the real spark_partition_id
+    column, bounded array_sort merge — similarity._topk_per_query's
+    shape specialized to integer distances)."""
     if single_query:
         return (
             scored.orderBy(F.col("_d").asc(), F.col(id_col).asc())
@@ -186,3 +186,176 @@ def pq_topk(
         F.col("_t._id").alias(id_col),
         F.col("_t._d").alias("adc_dist"),
     )
+
+
+def pq_topk(
+    index: PqIndex,
+    query: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+    single_query: bool = False,
+) -> DataFrame:
+    """Top-k by ascending integer ADC distance, ties to the lowest id.
+
+    single_query=True -> global TakeOrderedAndProject (no shuffle);
+    multi-query -> two-phase top-k (WindowGroupLimit keyed by the real
+    spark_partition_id column, bounded array_sort merge)."""
+    id_col = index.id_col
+    scored = index.codes.crossJoin(
+        F.broadcast(query.select(query_id_col, qvec_col))
+    ).select(query_id_col, id_col, _adc_expr(index, qvec_col).alias("_d"))
+    return _topk_by_distance(scored, k, id_col, query_id_col, single_query)
+
+
+@dataclass
+class IvfPqIndex:
+    coarse: list[list[int]]  # kc × dim coarse centroids (int space)
+    codebooks: list[list[list[int]]]  # m × ksub × dsub — RESIDUAL space
+    codes: DataFrame  # (id_col, cell: int, codes: array<int> length m)
+    id_col: str
+    dsub: int
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    kc: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "qvec",
+) -> IvfPqIndex:
+    """IVFADC build (Jégou et al. 2011 §IV — "IVF" + asymmetric distance
+    over PQ codes): the billion-scale layout that combines BOTH index
+    wins. The coarse quantizer prunes the candidate set (only ``n_probe``
+    of ``kc`` cells are scanned per query — IVF's win); within a cell,
+    vectors are stored as PQ codes of their RESIDUAL from the cell
+    centroid (PQ's ~32× scan-compression win). Residuals concentrate
+    near zero, which is why PQ codebooks fit them better than raw
+    vectors — the paper's central observation.
+
+    Integer-exactness contract (same as PqIndex): runs over INT vectors
+    (compose with ``similarity.quantize_embeddings``), so coarse
+    assignment, residuals, encoding, and ADC are all exact int64
+    arithmetic — bit-identical in the DuckDB oracle
+    (parity:ivfpq_topk_multi), no float-fold jitter anywhere.
+
+    Plan shape:
+    - coarse seeds: ONE ``orderBy(md5(id)).limit(kc)`` TakeOrdered scan;
+      centroids become driver-side literals.
+    - assign + residual: MAP-ONLY — argmin int sqL2 over kc literal
+      centroids (``_encode_expr`` with m=1 IS that argmin), residual is
+      a zip_with against the cell's literal centroid.
+    - PQ codebooks: trained on the ksub smallest-md5 RESIDUALS (one more
+      TakeOrdered over the residual frame); encode is map-only.
+    So the whole build is two bounded driver collects and zero
+    shuffles — at 100 TB the codes table writes partitioned by ``cell``
+    and a probe reads only its cells' files."""
+    seeds = (
+        emb.select(
+            id_col, vec_col, _portable_hash60_str(F.col(id_col)).alias("_h")
+        )
+        .orderBy("_h", id_col)
+        .limit(kc)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("cannot build IVFPQ index from an empty table")
+    coarse = [[int(x) for x in r[vec_col]] for r in seeds]
+    dim = len(coarse[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # argmin over kc full-dim centroids == PQ encode with one subspace
+    cell = F.element_at(_encode_expr(vec_col, [coarse], dim), 1).alias("cell")
+    coarse_lit = F.expr(_lit_int_matrix(coarse))
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(coarse_lit, F.col("cell") + 1),
+        lambda x, c: x - c,
+    ).alias("_res")
+    residuals = emb.select(F.col(id_col), F.col(vec_col), cell).select(
+        id_col, "cell", resid
+    )
+    res_seeds = (
+        residuals.select(
+            id_col, "_res", _portable_hash60_str(F.col(id_col)).alias("_h")
+        )
+        .orderBy("_h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    codebooks = [
+        [
+            [int(x) for x in r["_res"][j * dsub : (j + 1) * dsub]]
+            for r in res_seeds
+        ]
+        for j in range(m)
+    ]
+    codes = residuals.select(
+        F.col(id_col),
+        F.col("cell"),
+        _encode_expr("_res", codebooks, dsub).alias("codes"),
+    )
+    return IvfPqIndex(coarse, codebooks, codes, id_col, dsub)
+
+
+def ivfpq_topk(
+    index: IvfPqIndex,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+    single_query: bool = False,
+) -> DataFrame:
+    """IVFADC query: pick the ``n_probe`` coarse cells nearest the query
+    (exact int sqL2 against kc literals — computed once per QUERY row,
+    broadcast), scan ONLY those cells' codes, and rank by ADC distance
+    between the query's per-cell residual and each stored code. Ties
+    break to the lowest cell / code / vec id in both engines.
+
+    The candidate filter is ``array_contains(probes, cell)`` under a
+    broadcast of the (tiny) query side — a BroadcastNestedLoopJoin whose
+    streamed side is the codes scan, i.e. exactly the cell-pruned scan;
+    with the codes table partitioned by ``cell`` the filter becomes
+    partition pruning."""
+    id_col = index.id_col
+    kc = len(index.coarse)
+    coarse_lit = F.expr(_lit_int_matrix(index.coarse))
+    qv = F.col(qvec_col)
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_l2(qv, F.element_at(coarse_lit, c + 1)).alias(
+                            "_d"
+                        ),
+                        F.lit(c).alias("_c"),
+                    )
+                    for c in range(kc)
+                ]
+            )
+        ),
+        1,
+        min(n_probe, kc),
+    )
+    qside = query.select(
+        query_id_col,
+        qv.alias("_qv"),
+        F.transform(probes, lambda s: s["_c"]).alias("_probes"),
+    )
+    qres = F.zip_with(
+        F.col("_qv"),
+        F.element_at(coarse_lit, F.col("cell") + 1),
+        lambda x, c: x - c,
+    )
+    scored = (
+        index.codes.join(
+            F.broadcast(qside),
+            F.array_contains(F.col("_probes"), F.col("cell")),
+        )
+        .select(query_id_col, id_col, _adc_expr(index, qres).alias("_d"))
+    )
+    return _topk_by_distance(scored, k, id_col, query_id_col, single_query)

@@ -5178,6 +5178,126 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 114. ivfpq_topk_multi — IVFADC (Jégou et al. 2011 §IV): coarse-cell
+# pruning (probe 2 of 8 cells) + PQ codes over CELL RESIDUALS, ranked by
+# asymmetric distance. Composes the two oracle-proven pieces (ivf_topk's
+# hash-seeded coarse layer, pq_topk_multi's integer-exact codebook layer)
+# into the canonical billion-scale ANN layout; every step is exact int64
+# arithmetic, so the DuckDB mirror is bit-identical end to end.
+# --------------------------------------------------------------------------
+_IVFPQ_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+), qz AS (
+    SELECT vec_id,
+           list_transform(vd, x -> CAST(round(x / sc) AS INTEGER)) AS qvec
+    FROM (SELECT vec_id, vd,
+                 greatest(list_max(list_transform(vd, x -> abs(x))) / 127.0,
+                          1e-30) AS sc
+          FROM v)
+), cseeds AS (
+    SELECT row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT), vec_id
+           ) - 1 AS cid, qvec AS cv
+    FROM qz
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT), vec_id
+    LIMIT 8
+), cass AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT z.vec_id, s.cid,
+               row_number() OVER (
+                   PARTITION BY z.vec_id
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                i -> (z.qvec[i] - s.cv[i])
+                                   * (z.qvec[i] - s.cv[i]))), s.cid
+               ) AS rn
+        FROM qz z, cseeds s
+    ) WHERE rn = 1
+), res AS (
+    SELECT z.vec_id, a.cell,
+           list_transform(generate_series(1, 64),
+                          i -> z.qvec[i] - s.cv[i]) AS r
+    FROM qz z
+    JOIN cass a ON a.vec_id = z.vec_id
+    JOIN cseeds s ON s.cid = a.cell
+), rseeds AS (
+    SELECT row_number() OVER (
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT), vec_id
+           ) AS c, r AS rv
+    FROM res
+    ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT), vec_id
+    LIMIT 16
+), code AS (
+    SELECT vec_id, cell, j, c FROM (
+        SELECT e.vec_id, e.cell, j.j, s.c,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, j.j
+                   ORDER BY list_sum(list_transform(generate_series(1, 8),
+                                i -> (e.r[(j.j-1)*8 + i] - s.rv[(j.j-1)*8 + i])
+                                   * (e.r[(j.j-1)*8 + i] - s.rv[(j.j-1)*8 + i]))),
+                            s.c
+               ) AS rn
+        FROM res e, generate_series(1, 8) j(j), rseeds s
+    ) WHERE rn = 1
+), queries AS (
+    SELECT vec_id AS query_id, qvec AS qq FROM qz WHERE vec_id IN (0, 1, 2)
+), qprobe AS (
+    SELECT query_id, cid FROM (
+        SELECT qu.query_id, s.cid,
+               row_number() OVER (
+                   PARTITION BY qu.query_id
+                   ORDER BY list_sum(list_transform(generate_series(1, 64),
+                                i -> (qu.qq[i] - s.cv[i])
+                                   * (qu.qq[i] - s.cv[i]))), s.cid
+               ) AS rn
+        FROM queries qu, cseeds s
+    ) WHERE rn <= 2
+), adc AS (
+    -- query residual vs the probed cell's centroid, compared to the
+    -- stored code's codebook row: (qq - cv) vs rseeds.rv, per subspace
+    SELECT qu.query_id, co.vec_id,
+           sum(list_sum(list_transform(generate_series(1, 8), i ->
+               (qu.qq[(co.j-1)*8 + i] - cs.cv[(co.j-1)*8 + i]
+                                      - s.rv[(co.j-1)*8 + i])
+             * (qu.qq[(co.j-1)*8 + i] - cs.cv[(co.j-1)*8 + i]
+                                      - s.rv[(co.j-1)*8 + i])))) AS dist
+    FROM code co
+    JOIN rseeds s ON s.c = co.c
+    JOIN qprobe p ON p.cid = co.cell
+    JOIN queries qu ON qu.query_id = p.query_id
+    JOIN cseeds cs ON cs.cid = co.cell
+    GROUP BY qu.query_id, co.vec_id
+)
+SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist FROM (
+    SELECT query_id, vec_id, dist AS adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist, vec_id) AS rn
+    FROM adc
+) WHERE rn <= 10
+"""
+
+
+@_register("ivfpq_topk_multi", _IVFPQ_SQL)
+def ivfpq_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arango_etl_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+    from arango_etl_spark.operators.similarity import quantize_embeddings
+
+    qz = quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "qvec"
+    )
+    index = build_ivfpq_index(qz, kc=8, m=8, ksub=16)
+    queries = qz.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    return ivfpq_topk(index, queries, k=10, n_probe=2)
+
+
 _GATE_ORDER = [
     # CDC / merge engine (SURVEY §2.2 K1-K6, §2.6 J3, §2.5 A6)
     "cdc_engine_replay",

@@ -110,3 +110,105 @@ def test_pq_plans_are_jvm_side_and_partitioned(spark):
         idx, qdf.where(F.col("query_id") == 0), k=5, single_query=True
     )
     assert "TakeOrderedAndProject" in explain.physical_plan(single)
+
+
+# ----------------------------------------------------------------- IVFADC
+def _py_ivfpq(n=64, kc=2, m=M, ksub=KSUB):
+    """Pure-Python mirror of build_ivfpq_index: coarse seeds by md5,
+    argmin assignment, residuals, residual-seeded codebooks, encoding."""
+    ids = list(range(n))
+    cseeds = sorted(ids, key=lambda i: (_h60(str(i)), i))[:kc]
+    coarse = [_vec(s) for s in cseeds]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cell_of(v):
+        return min(range(kc), key=lambda c: (sq(v, coarse[c]), c))
+
+    cells = {i: cell_of(_vec(i)) for i in ids}
+    res = {i: [x - y for x, y in zip(_vec(i), coarse[cells[i]])] for i in ids}
+    rseeds = sorted(ids, key=lambda i: (_h60(str(i)), i))[:ksub]
+    dsub = DIM // m
+    cbs = [
+        [res[s][j * dsub : (j + 1) * dsub] for s in rseeds] for j in range(m)
+    ]
+
+    def encode(r):
+        return [
+            min(range(ksub),
+                key=lambda c: (sq(r[j * dsub:(j + 1) * dsub], cbs[j][c]), c))
+            for j in range(m)
+        ]
+
+    codes = {i: encode(res[i]) for i in ids}
+    return coarse, cbs, cells, codes
+
+
+def test_ivfpq_build_matches_python_reference(spark):
+    from arango_etl_spark.operators.pq import build_ivfpq_index
+
+    coarse, cbs, cells, codes = _py_ivfpq()
+    index = build_ivfpq_index(_fixture(spark), kc=2, m=M, ksub=KSUB)
+    assert index.coarse == coarse
+    assert index.codebooks == cbs
+    got = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in index.codes.collect()
+    }
+    assert got == {i: (cells[i], codes[i]) for i in range(64)}
+
+
+def test_ivfpq_topk_matches_python_reference(spark):
+    from arango_etl_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+
+    coarse, cbs, cells, codes = _py_ivfpq()
+    kc, m, dsub = 2, M, DIM // M
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def py_topk(qid, k=5, n_probe=1):
+        q = _vec(qid)
+        probes = sorted(range(kc), key=lambda c: (sq(q, coarse[c]), c))[:n_probe]
+        scored = []
+        for i in range(64):
+            if cells[i] not in probes:
+                continue
+            qres = [x - y for x, y in zip(q, coarse[cells[i]])]
+            d = sum(
+                sq(qres[j * dsub:(j + 1) * dsub], cbs[j][codes[i][j]])
+                for j in range(m)
+            )
+            scored.append((d, i))
+        return sorted(scored)[:k]
+
+    index = build_ivfpq_index(_fixture(spark), kc=kc, m=M, ksub=KSUB)
+    queries = _fixture(spark).where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    out = ivfpq_topk(index, queries, k=5, n_probe=1)
+    got = {
+        (r["query_id"], r["vec_id"]): r["adc_dist"] for r in out.collect()
+    }
+    expect = {
+        (qid, i): d for qid in (0, 1) for d, i in py_topk(qid)
+    }
+    assert got == expect
+    # pruning is real: every candidate's cell is the query's single probe
+    for (qid, i) in got:
+        q = _vec(qid)
+        probe = min(range(kc), key=lambda c: (sq(q, coarse[c]), c))
+        assert cells[i] == probe
+
+
+def test_ivfpq_plans_jvm_side(spark):
+    from arango_etl_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+
+    index = build_ivfpq_index(_fixture(spark), kc=2, m=M, ksub=KSUB)
+    queries = _fixture(spark).limit(2).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    plan = explain.physical_plan(ivfpq_topk(index, queries, k=3, n_probe=1))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast, codes streamed
