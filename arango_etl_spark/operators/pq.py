@@ -224,6 +224,7 @@ def build_ivfpq_index(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "qvec",
+    refine_iters: int = 0,
 ) -> IvfPqIndex:
     """IVFADC build (Jégou et al. 2011 §IV — "IVF" + asymmetric distance
     over PQ codes): the billion-scale layout that combines BOTH index
@@ -266,6 +267,42 @@ def build_ivfpq_index(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # Optional Lloyd refinement of the COARSE layer (the ivf_topk
+    # refine_iters treatment, r4 VERDICT #2, extended to IVFADC):
+    # hash-seeded centroids are a uniform sample — skewed corpora give
+    # unbalanced cells (hot cell ≈ full scan per probe) and residuals
+    # far from zero (bad codebook fit). Each round re-assigns map-only
+    # and replaces a centroid with its cell's per-dimension mean
+    # ROUNDED BACK TO INT — unlike the float IVF case this stays fully
+    # deterministic (avg of ints = exact long sum / count, no FP
+    # reorder; round-half-even), so refined indexes are reproducible,
+    # just not oracle-paired (the parity twin pins refine_iters=0).
+    # Cost: refine_iters × (one kc×dim partial-agg shuffle + kc-row
+    # collect). Empty cells keep their previous centroid.
+    for _ in range(int(refine_iters)):
+        if len(coarse) <= 1:
+            break
+        assigned = emb.select(
+            vec_col,
+            F.element_at(_encode_expr(vec_col, [coarse], dim), 1).alias(
+                "cell"
+            ),
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i]).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()  # bounded: kc rows
+        )
+        by_cell = {
+            r["cell"]: [int(round(r[f"d{i}"])) for i in range(dim)]
+            for r in means
+        }
+        coarse = [by_cell.get(c, v) for c, v in enumerate(coarse)]
     # argmin over kc full-dim centroids == PQ encode with one subspace
     cell = F.element_at(_encode_expr(vec_col, [coarse], dim), 1).alias("cell")
     coarse_lit = F.expr(_lit_int_matrix(coarse))
@@ -292,6 +329,46 @@ def build_ivfpq_index(
         ]
         for j in range(m)
     ]
+    # Lloyd refinement of the RESIDUAL codebooks (the actual PQ training
+    # step — hash-sampled codewords rank same-cell neighbours nearly at
+    # random; k-means codewords are what makes ADC a usable ranker).
+    # ONE shuffle per round for ALL m subspaces: posexplode the codes
+    # array to (j, code, subvector) rows and groupBy (j, code) — the
+    # same exact-int avg + round-half-even determinism as the coarse
+    # refinement above. m × ksub bounded collect per round.
+    for _ in range(int(refine_iters)):
+        enc = residuals.select(
+            F.col("_res"),
+            F.posexplode(
+                _encode_expr("_res", codebooks, dsub)
+            ).alias("_j", "_c"),
+        ).select(
+            "_j",
+            "_c",
+            F.slice(F.col("_res"), F.col("_j") * dsub + 1, dsub).alias(
+                "_sub"
+            ),
+        )
+        cb_means = (
+            enc.groupBy("_j", "_c")
+            .agg(
+                *[
+                    F.avg(F.col("_sub")[i]).alias(f"d{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .collect()  # bounded: m × ksub rows
+        )
+        by_jc = {
+            (r["_j"], r["_c"]): [
+                int(round(r[f"d{i}"])) for i in range(dsub)
+            ]
+            for r in cb_means
+        }
+        codebooks = [
+            [by_jc.get((j, c), w) for c, w in enumerate(cb)]
+            for j, cb in enumerate(codebooks)
+        ]
     codes = residuals.select(
         F.col(id_col),
         F.col("cell"),
@@ -308,6 +385,9 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     qvec_col: str = "qvec",
     single_query: bool = False,
+    rerank: int = 0,
+    src: DataFrame | None = None,
+    src_vec_col: str = "qvec",
 ) -> DataFrame:
     """IVFADC query: pick the ``n_probe`` coarse cells nearest the query
     (exact int sqL2 against kc literals — computed once per QUERY row,
@@ -358,4 +438,35 @@ def ivfpq_topk(
         )
         .select(query_id_col, id_col, _adc_expr(index, qres).alias("_d"))
     )
-    return _topk_by_distance(scored, k, id_col, query_id_col, single_query)
+    if rerank <= 0:
+        return _topk_by_distance(scored, k, id_col, query_id_col,
+                                 single_query)
+    if src is None:
+        raise ValueError("rerank > 0 requires src (the original vectors)")
+    # IVFADC+R (Jégou/Tavenard/Douze/Amsaleg 2011): ADC is a LOSSY
+    # ranker — use it only to cut the probed cells down to a shortlist
+    # of ``rerank`` candidates per query, then re-rank the shortlist by
+    # EXACT int sqL2 against the original vectors. The shortlist
+    # (n_queries × rerank rows) is tiny, so the refinement join
+    # broadcasts it against ``src`` — at table scale that is a
+    # bucket-pruned point-lookup join, never a second full scan. The
+    # final top-k is exact over the shortlist; ties to the lowest id.
+    short = _topk_by_distance(
+        scored, int(rerank), id_col, query_id_col, single_query
+    ).select(query_id_col, id_col)
+    exact = (
+        src.withColumnsRenamed({id_col: "_sid", src_vec_col: "_sv"})
+        .select("_sid", "_sv")
+        .join(F.broadcast(short), F.col("_sid") == F.col(id_col))
+        .join(
+            F.broadcast(query.select(query_id_col, qv.alias("_qq"))),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            _sq_l2(F.col("_qq"), F.col("_sv")).alias("_d"),
+        )
+    )
+    out = _topk_by_distance(exact, k, id_col, query_id_col, single_query)
+    return out.withColumnRenamed("adc_dist", "sq_dist")

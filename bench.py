@@ -58,6 +58,7 @@ PARITY_QUERIES = [
     "token_drift_by_source",      # NEW r5: per-source TV drift monitoring
     "pq_topk_multi",              # NEW r5: product-quantization ANN (ADC)
 ]
+# ivfpq is timed split below (build vs probe), same policy as ivf.
 # ivf is timed separately below: build (write-time index state — centroid
 # TakeOrdered + assignment-plan codegen over 16×64-dim literal arrays) vs
 # the probe/query path a user actually pays per query (round-3 VERDICT #8:
@@ -302,6 +303,43 @@ def main() -> None:
             ivf_query(served, qdf, k=10, n_probe=4, single_query=True) \
                 .write.format("noop").mode("overwrite").save()
             queries["ivf_topk"] = round(time.monotonic() - t0, 3)
+
+            # IVFADC: same build/probe split. The codes table is the
+            # write-time state, persisted PARTITIONED BY cell so the
+            # probe's array_contains(probes, cell) filter is served by
+            # partition pruning on disk — the layout the operator
+            # docstring promises at table scale.
+            from arango_etl_spark.operators.pq import (
+                IvfPqIndex,
+                build_ivfpq_index,
+                ivfpq_topk,
+            )
+            from arango_etl_spark.operators.similarity import (
+                quantize_embeddings,
+            )
+
+            qz = quantize_embeddings(emb).select("vec_id", "qvec")
+            t0 = time.monotonic()
+            ivfpq = build_ivfpq_index(qz, kc=8, m=8, ksub=16)
+            ivfpq_dir = os.path.join(work_dir, "ivfpq_index")
+            ivfpq.codes.write.mode("overwrite").partitionBy("cell") \
+                .parquet(ivfpq_dir)
+            queries["ivfpq_build"] = round(time.monotonic() - t0, 3)
+            ivfpq_served = IvfPqIndex(
+                ivfpq.coarse, ivfpq.codebooks,
+                spark.read.parquet(ivfpq_dir), ivfpq.id_col, ivfpq.dsub,
+            )
+            pq_queries = qz.where(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "qvec"
+            )
+            t0 = time.monotonic()
+            ivfpq_topk(ivfpq_served, pq_queries, k=10, n_probe=2) \
+                .write.format("noop").mode("overwrite").save()
+            queries["ivfpq_topk_first"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            ivfpq_topk(ivfpq_served, pq_queries, k=10, n_probe=2) \
+                .write.format("noop").mode("overwrite").save()
+            queries["ivfpq_topk"] = round(time.monotonic() - t0, 3)
 
             # BPE over the tokens payload (the graft's token axis):
             # train on a deterministic 5% sample (standard practice —

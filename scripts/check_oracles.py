@@ -19,7 +19,8 @@ time (the last three also at sf0.001); a full-sweep re-run of this
 script supersedes this note. 2026-08-18: full sweep of all 112 at
 sf0.01 green post-BPE-arrow; semantic_dedup_keep added (113th pair,
 checked pairwise at sf0.01 at add time: 500 rows, 350 kept, 0 cell or
-kept mismatches).
+kept mismatches). 2026-08-18 later: ivfpq_topk_multi added (114th
+pair) and a FULL sweep of all 114 ran green at sf0.01.
 """
 
 from __future__ import annotations

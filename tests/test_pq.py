@@ -212,3 +212,88 @@ def test_ivfpq_plans_jvm_side(spark):
     plan = explain.physical_plan(ivfpq_topk(index, queries, k=3, n_probe=1))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # query side broadcast, codes streamed
+
+
+def test_ivfpq_refined_rerank_recall_floor(spark):
+    """r4 VERDICT #2's measure-recall treatment extended to IVFADC:
+    hash-seeded codebooks rank same-cell neighbours nearly at random
+    (ADC-only recall@10 ~0.36 on this fixture); Lloyd-refined residual
+    codebooks must never be worse, and the IVFADC+R exact-rerank stage
+    (Jégou et al. 2011) must reach recall@10 >= 0.99 at n_probe=2/8
+    with a 50-candidate shortlist. Fully deterministic: fixed rng seed
+    + integer arithmetic + exact-int Lloyd updates."""
+    import numpy as np
+
+    from arango_etl_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+
+    rng = np.random.default_rng(7)
+    n_clusters, dim, per = 8, 16, 50
+    centers = rng.integers(-100, 101, size=(n_clusters, dim))
+    rows = [
+        (
+            vid,
+            [
+                int(x)
+                for x in centers[vid % n_clusters]
+                + rng.integers(-6, 7, size=dim)
+            ],
+        )
+        for vid in range(n_clusters * per)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, qvec array<int>")
+    vecs = np.array([r[1] for r in rows])
+    qrows = [
+        (
+            qi,
+            [
+                int(x)
+                for x in centers[qi % n_clusters]
+                + rng.integers(-6, 7, size=dim)
+            ],
+        )
+        for qi in range(16)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, qvec array<int>")
+    exact = {}
+    for qi, qv in qrows:
+        d = ((vecs - np.array(qv)) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d)), d))
+        exact[qi] = set(int(i) for i in order[:10])
+
+    def recall(index, n_probe, **kw):
+        got = {}
+        out = ivfpq_topk(index, qdf, k=10, n_probe=n_probe, **kw)
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & e) for q, e in exact.items()) / 160
+
+    seeded = build_ivfpq_index(emb, kc=8, m=4, ksub=16)
+    refined = build_ivfpq_index(emb, kc=8, m=4, ksub=16, refine_iters=3)
+    adc = {p: (recall(seeded, p), recall(refined, p)) for p in (1, 2, 4)}
+    print(f"IVFPQ ADC-only recall@10 (seeded, refined): {adc}")
+    assert all(ref >= seed - 0.02 for seed, ref in adc.values()), adc
+    rr = {p: recall(refined, p, rerank=50, src=emb) for p in (1, 2, 4)}
+    print(f"IVFPQ refined+rerank=50 recall@10: {rr}")
+    assert rr[1] >= 0.85 and rr[2] >= 0.99 and rr[4] >= 0.99, rr
+    # rerank output is EXACT on the shortlist: sq_dist == int sqL2
+    one = ivfpq_topk(
+        refined, qdf.where(F.col("query_id") == 0), k=5, n_probe=2,
+        rerank=50, src=emb,
+    ).collect()
+    q0 = np.array(qrows[0][1])
+    for r in one:
+        assert r["sq_dist"] == int(((vecs[r["vec_id"]] - q0) ** 2).sum())
+
+
+def test_ivfpq_rerank_plan_jvm_side(spark):
+    from arango_etl_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+
+    fx = _fixture(spark)
+    index = build_ivfpq_index(fx, kc=2, m=M, ksub=KSUB, refine_iters=1)
+    queries = fx.limit(2).select(F.col("vec_id").alias("query_id"), "qvec")
+    plan = explain.physical_plan(
+        ivfpq_topk(index, queries, k=3, n_probe=1, rerank=10, src=fx)
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the shortlist refinement joins broadcast the tiny sides
+    assert plan.count("BroadcastHashJoin") >= 1
