@@ -36,6 +36,7 @@ Plan shape:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -470,3 +471,48 @@ def ivfpq_topk(
     )
     out = _topk_by_distance(exact, k, id_col, query_id_col, single_query)
     return out.withColumnRenamed("adc_dist", "sq_dist")
+
+
+def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:
+    """Persist the build-once index: codes land PARTITIONED BY cell
+    (so a probe's ``array_contains(probes, cell)`` filter is served by
+    disk partition pruning — the layout ``ivfpq_topk``'s docstring
+    assumes at table scale), and the tiny driver-side state (coarse
+    centroids, codebooks, id col, dsub) lands as one JSON row written
+    THROUGH Spark so the path may be any Hadoop-supported filesystem,
+    not just local disk."""
+    spark = index.codes.sparkSession
+    index.codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path.rstrip('/')}/codes"
+    )
+    meta = json.dumps(
+        {
+            "coarse": index.coarse,
+            "codebooks": index.codebooks,
+            "id_col": index.id_col,
+            "dsub": index.dsub,
+        }
+    )
+    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path.rstrip('/')}/meta")
+
+
+def load_ivfpq_index(spark, path: str) -> IvfPqIndex:
+    """Reopen a saved index for serving: queries plan against a clean
+    partitioned parquet scan — the build-time literal assignment
+    expressions are gone, so per-query analysis cost is independent of
+    the corpus and the build."""
+    meta = json.loads(
+        spark.read.text(f"{path.rstrip('/')}/meta").first()["value"]
+    )
+    return IvfPqIndex(
+        [[int(x) for x in c] for c in meta["coarse"]],
+        [
+            [[int(x) for x in w] for w in cb]
+            for cb in meta["codebooks"]
+        ],
+        spark.read.parquet(f"{path.rstrip('/')}/codes"),
+        meta["id_col"],
+        int(meta["dsub"]),
+    )

@@ -5355,9 +5355,12 @@ _GATE_ORDER = [
     "simhash_docs",
     "dup_span_coverage",
     "embedding_near_dups",
-    # ANN family (brute-force top-k + IVF index)
+    # ANN family (brute-force top-k + the strongest index rep: IVFADC —
+    # coarse prune + residual PQ, Jégou et al. 2011 §IV; ivf_topk and
+    # pq_topk_multi are its two constituent layers, each oracle-paired
+    # past 50 and check_oracles-swept)
     "cosine_topk_multi",
-    "ivf_topk",
+    "ivfpq_topk_multi",
     # text analysis (quality_score is the columnar-text-stats twin of
     # token_stats — past 50, check_oracles-swept)
     "token_stats",

@@ -310,9 +310,10 @@ def main() -> None:
             # partition pruning on disk — the layout the operator
             # docstring promises at table scale.
             from arango_etl_spark.operators.pq import (
-                IvfPqIndex,
                 build_ivfpq_index,
                 ivfpq_topk,
+                load_ivfpq_index,
+                save_ivfpq_index,
             )
             from arango_etl_spark.operators.similarity import (
                 quantize_embeddings,
@@ -322,13 +323,9 @@ def main() -> None:
             t0 = time.monotonic()
             ivfpq = build_ivfpq_index(qz, kc=8, m=8, ksub=16)
             ivfpq_dir = os.path.join(work_dir, "ivfpq_index")
-            ivfpq.codes.write.mode("overwrite").partitionBy("cell") \
-                .parquet(ivfpq_dir)
+            save_ivfpq_index(ivfpq, ivfpq_dir)
             queries["ivfpq_build"] = round(time.monotonic() - t0, 3)
-            ivfpq_served = IvfPqIndex(
-                ivfpq.coarse, ivfpq.codebooks,
-                spark.read.parquet(ivfpq_dir), ivfpq.id_col, ivfpq.dsub,
-            )
+            ivfpq_served = load_ivfpq_index(spark, ivfpq_dir)
             pq_queries = qz.where(F.col("vec_id") < 3).select(
                 F.col("vec_id").alias("query_id"), "qvec"
             )

@@ -75,6 +75,9 @@ def test_gate_order_covers_every_family_in_first_50():
         # (displaced base64url_ids / quality_score — string-transform and
         # columnar-text-stats twins of edge_keys / token_stats)
         "fanout_source_profiles", "gapfill_locf_series",
+        # round-5 late: IVFADC took the indexed-ANN slot (ivf_topk and
+        # pq_topk_multi are its constituent layers, both past 50)
+        "ivfpq_topk_multi",
     }
     assert must_be_gated <= set(names[:50])
     # oracle_sql() must follow the same order for the driver's zip-compare

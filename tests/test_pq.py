@@ -297,3 +297,35 @@ def test_ivfpq_rerank_plan_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     # the shortlist refinement joins broadcast the tiny sides
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_ivfpq_save_load_roundtrip(spark, tmp_path):
+    from arango_etl_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    fx = _fixture(spark)
+    built = build_ivfpq_index(fx, kc=2, m=M, ksub=KSUB)
+    save_ivfpq_index(built, str(tmp_path / "idx"))
+    served = load_ivfpq_index(spark, str(tmp_path / "idx"))
+    assert served.coarse == built.coarse
+    assert served.codebooks == built.codebooks
+    assert served.dsub == built.dsub and served.id_col == built.id_col
+    # codes survive the partitioned write (cell moves to partition cols)
+    got = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in served.codes.collect()
+    }
+    want = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in built.codes.collect()
+    }
+    assert got == want
+    # and the served index answers queries identically
+    q = fx.limit(2).select(F.col("vec_id").alias("query_id"), "qvec")
+    a = sorted(map(tuple, ivfpq_topk(built, q, k=5, n_probe=2).collect()))
+    b = sorted(map(tuple, ivfpq_topk(served, q, k=5, n_probe=2).collect()))
+    assert a == b
