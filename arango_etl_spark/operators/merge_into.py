@@ -230,10 +230,20 @@ def apply_changes(
         # touched buckets listed from the deduped source, not the raw
         # batch: inside foreachBatch an extra action on the streaming
         # batch DataFrame can wedge the micro-batch thread (observed
-        # hang), and the deduped plan re-executes deterministically
-        touched = sorted(
-            r["_bucket"] for r in src.select("_bucket").distinct().collect()
-        )
+        # hang), and the deduped plan re-executes deterministically.
+        # Fast path: `touched` exists only to PRUNE the target read (and
+        # to mark replaced buckets, which is vacuous when nothing can be
+        # carried over) — a parent with zero live files has nothing to
+        # prune or replace, so skip the distinct-collect job entirely
+        # (first CoW merge into a fresh table was paying a full shuffle
+        # job just to learn an empty file list).
+        if any(fs for fs in manifest["files"].values()):
+            touched = sorted(
+                r["_bucket"]
+                for r in src.select("_bucket").distinct().collect()
+            )
+        else:
+            touched = []
         new_files, replaced = _merge_cow(
             spark, table, read_manifest, src, key_col, payload, touched
         )

@@ -493,7 +493,12 @@ def save_ivfpq_index(index: IvfPqIndex, path: str) -> None:
             "dsub": index.dsub,
         }
     )
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
+    # one JVM literal row, NOT createDataFrame([...]).coalesce(1): the
+    # parallelized local collection becomes a 32-slice Python RDD and
+    # coalesce(1) folds all slices into ONE task that pays a Python
+    # worker round trip per empty slice (measured ~5 s of the old
+    # ivfpq_build leg; range(1)+lit is ~0.2 s and never leaves the JVM)
+    spark.range(1).select(F.lit(meta).alias("meta")).write.mode(
         "overwrite"
     ).text(f"{path.rstrip('/')}/meta")
 
