@@ -151,6 +151,12 @@ def bpe_encode_arrow(
     arbitrary hand-written table violating that invariant may encode
     differently between the two, as it would between subword-nmt and HF
     tokenizers.)"""
+    from arango_etl_spark.operators.dedup import _spread
+
+    # the per-sequence merge loop is the CPU: a single-file input would
+    # otherwise run the whole corpus through ONE Python worker (the
+    # shingles/_spread pattern; no-op once input files >= parallelism)
+    df = _spread(df)
     out = out_col or tokens_col
     rank = {(a, b): (r, new_id) for r, (a, b, new_id) in enumerate(merges)}
 

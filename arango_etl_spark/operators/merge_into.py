@@ -236,8 +236,20 @@ def apply_changes(
         # carried over) — a parent with zero live files has nothing to
         # prune or replace, so skip the distinct-collect job entirely
         # (first CoW merge into a fresh table was paying a full shuffle
-        # job just to learn an empty file list).
-        if any(fs for fs in manifest["files"].values()):
+        # job just to learn an empty file list). NOT inside a streaming
+        # micro-batch: there this collect is LOAD-BEARING for the
+        # Observation metrics — under foreachBatch a union over an
+        # observed frame never fires its CollectMetrics event (verified
+        # empirically: union → no event, write/agg alone → event), so
+        # without a pre-write action ``obs.get`` below deadlocks the
+        # stream thread. Batch mode fires fine either way.
+        in_micro_batch = (
+            spark.sparkContext.getLocalProperty("streaming.sql.batchId")
+            is not None
+        )
+        if (obs is not None and in_micro_batch) or any(
+            fs for fs in manifest["files"].values()
+        ):
             touched = sorted(
                 r["_bucket"]
                 for r in src.select("_bucket").distinct().collect()

@@ -105,6 +105,10 @@ def build_pq_index(
     """Train codebooks from the ksub vectors with the smallest portable
     md5-of-id (deterministic, reproducible in SQL), then encode the
     whole table map-only. Requires dim % m == 0."""
+    from arango_etl_spark.operators.dedup import _spread
+
+    emb = _spread(emb)  # encode argmin is the CPU; single-file inputs
+    # would otherwise run it in ONE task (no-op at table scale)
     seeds = (
         emb.select(id_col, vec_col, _portable_hash60_str(F.col(id_col)).alias("_h"))
         .orderBy("_h", id_col)
@@ -140,6 +144,37 @@ def _adc_expr(index, qvec) -> Column:
         sub = F.slice(qv, j * index.dsub + 1, index.dsub)
         total = total + _sq_l2(
             sub, F.element_at(cb_lit, F.element_at(F.col("codes"), j + 1) + 1)
+        )
+    return total
+
+
+def _lut_expr(index, qvec) -> Column:
+    """Per-query ADC lookup table (Jégou et al. 2011 §V, the classic
+    LUT trick): lut[j][c] = sqL2(query_sub_j, codebook_j[c]) — m × ksub
+    longs computed ONCE per query row on the (tiny, broadcast) side.
+    Candidate scoring then degenerates to m table lookups per stored
+    code (:func:`_adc_from_lut`) instead of m interpreted zip_with
+    folds per (code, query) pair — higher-order-function lambdas run
+    interpreted in Spark, so moving them from the |codes| × |queries|
+    side to the |queries| side is the whole scan cost of ADC."""
+    qv = F.col(qvec) if isinstance(qvec, str) else qvec
+    luts = []
+    for j, cb in enumerate(index.codebooks):
+        cb_lit = F.expr(_lit_int_matrix(cb))
+        sub = F.slice(qv, j * index.dsub + 1, index.dsub)
+        luts.append(F.transform(cb_lit, lambda w: _sq_l2(sub, w)))
+    return F.array(*luts)
+
+
+def _adc_from_lut(m: int, lut_col: str = "_lut") -> Column:
+    """sum_j lut[j][codes[j]] — integer-exact, identical by commutative
+    int addition to :func:`_adc_expr`, but every term is a plain
+    (codegen-friendly) element_at chain: no per-candidate lambda."""
+    total = F.lit(0).cast("long")
+    for j in range(m):
+        total = total + F.element_at(
+            F.element_at(F.col(lut_col), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
         )
     return total
 
@@ -201,11 +236,19 @@ def pq_topk(
 
     single_query=True -> global TakeOrderedAndProject (no shuffle);
     multi-query -> two-phase top-k (WindowGroupLimit keyed by the real
-    spark_partition_id column, bounded array_sort merge)."""
+    spark_partition_id column, bounded array_sort merge).
+
+    The per-query m × ksub ADC lookup table is computed once on the
+    broadcast side (:func:`_lut_expr`); each stored code then costs m
+    table lookups, not m re-computed subvector distances."""
     id_col = index.id_col
-    scored = index.codes.crossJoin(
-        F.broadcast(query.select(query_id_col, qvec_col))
-    ).select(query_id_col, id_col, _adc_expr(index, qvec_col).alias("_d"))
+    m = len(index.codebooks)
+    qside = query.select(
+        query_id_col, _lut_expr(index, qvec_col).alias("_lut")
+    )
+    scored = index.codes.crossJoin(F.broadcast(qside)).select(
+        query_id_col, id_col, _adc_from_lut(m).alias("_d")
+    )
     return _topk_by_distance(scored, k, id_col, query_id_col, single_query)
 
 
@@ -253,6 +296,10 @@ def build_ivfpq_index(
     So the whole build is two bounded driver collects and zero
     shuffles — at 100 TB the codes table writes partitioned by ``cell``
     and a probe reads only its cells' files."""
+    from arango_etl_spark.operators.dedup import _spread
+
+    emb = _spread(emb)  # assign/residual/encode are the CPU; see
+    # build_pq_index (no-op once input files >= parallelism)
     seeds = (
         emb.select(
             id_col, vec_col, _portable_hash60_str(F.col(id_col)).alias("_h")
@@ -422,22 +469,31 @@ def ivfpq_topk(
         1,
         min(n_probe, kc),
     )
-    qside = query.select(
+    # one broadcast row per (query, probed cell): the candidate filter
+    # becomes a plain equi-join on `cell` (BroadcastHashJoin — with the
+    # codes table partitioned by cell it is ALSO the partition-pruning
+    # predicate), and the per-(query, cell) residual ADC lookup table is
+    # computed once on these few rows (n_queries × n_probe), so each
+    # stored code pays m table lookups instead of m interpreted folds.
+    qcell = query.select(
         query_id_col,
         qv.alias("_qv"),
-        F.transform(probes, lambda s: s["_c"]).alias("_probes"),
+        F.explode(F.transform(probes, lambda s: s["_c"])).alias("cell"),
     )
     qres = F.zip_with(
         F.col("_qv"),
         F.element_at(coarse_lit, F.col("cell") + 1),
         lambda x, c: x - c,
     )
+    qside = qcell.select(
+        query_id_col, "cell", _lut_expr(index, qres).alias("_lut")
+    )
     scored = (
-        index.codes.join(
-            F.broadcast(qside),
-            F.array_contains(F.col("_probes"), F.col("cell")),
+        index.codes.join(F.broadcast(qside), "cell")
+        .select(
+            query_id_col, id_col,
+            _adc_from_lut(len(index.codebooks)).alias("_d"),
         )
-        .select(query_id_col, id_col, _adc_expr(index, qres).alias("_d"))
     )
     if rerank <= 0:
         return _topk_by_distance(scored, k, id_col, query_id_col,

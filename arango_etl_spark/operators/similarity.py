@@ -136,6 +136,11 @@ def cosine_topk(
     point lookup with a literal id) — the re-rank becomes a distributed
     orderBy+limit instead of any window.
     """
+    from arango_etl_spark.operators.dedup import _spread
+
+    # dot products are the CPU: spread a single-file embeddings scan to
+    # cluster width first (no-op once input files >= parallelism)
+    embeddings = _spread(embeddings)
     # the query norm is constant per query — computed ONCE on the tiny
     # broadcast side instead of per candidate row (dim multiply-adds/row)
     q = query.select(
@@ -332,6 +337,11 @@ def build_ivf_index(
     only move the boundary (and reintroduce the HALF_UP/HALF_EVEN tie
     class); only the displayed cos_sim is rounded.
     """
+    from arango_etl_spark.operators.dedup import _spread
+
+    # cell assignment (n_centroids × dim multiply-adds per row) is the
+    # CPU; spread a single-file scan first (no-op at table scale)
+    embeddings = _spread(embeddings)
     cent_rows = (
         embeddings.select(
             id_col,

@@ -81,6 +81,10 @@ def kgram_positions(
     The position sequence is guarded: Spark's ``sequence(1, n)`` counts
     DOWN when n < 1, so n_positions < 1 maps to an empty array explicitly.
     """
+    from arango_etl_spark.operators.dedup import _spread
+
+    df = _spread(df)  # gram hashing is the CPU: single-file inputs would
+    # otherwise run the whole transform+posexplode in ONE task
     tokens = F.col(tokens_col)
     npos = F.size(tokens) - (k - 1)
     grams = F.when(
@@ -132,19 +136,40 @@ def duplicate_span_stats(
     dup = duplicate_gram_keys(pos_df, id_col, min_docs)
     flagged = pos_df.join(dup, "gram_key")
 
-    dup_pos = flagged.groupBy(id_col).agg(F.count("*").alias("dup_positions"))
-    covered = (
-        flagged.select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx"),
-        )
-        .groupBy(id_col)
-        .agg(F.count_distinct("idx").alias("covered_tokens"))
+    # ONE aggregation per doc for BOTH statistics. covered_tokens is the
+    # exact interval union of the [pos, pos+k) ranges, computed by a
+    # left fold over the SORTED start positions (each range contributes
+    # max(0, p+k − max(end, p)); end' = max(end, p+k)) — identical to
+    # counting distinct covered indices, without the k× explode, its
+    # count_distinct shuffle, or the third per-doc join the old shape
+    # paid. Per-row state is the doc's flagged-position list, bounded by
+    # the training sequence length (same bound strip_duplicate_spans
+    # already documents).
+    kl = F.lit(int(k)).cast("long")
+    union_len = F.aggregate(
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+        F.struct(
+            F.lit(0).cast("long").alias("tot"),
+            F.lit(0).cast("long").alias("end"),
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["tot"]
+                + F.greatest(
+                    p + kl - F.greatest(acc["end"], p), F.lit(0).cast("long")
+                )
+            ).alias("tot"),
+            F.greatest(acc["end"], p + kl).alias("end"),
+        ),
+        lambda acc: acc["tot"],
+    )
+    prof = flagged.groupBy(id_col).agg(
+        F.count("*").alias("dup_positions"),
+        union_len.alias("covered_tokens"),
     )
     base = df.select(id_col, F.size(tokens_col).alias("n_tok"))
     return (
-        base.join(dup_pos, id_col, "left")
-        .join(covered, id_col, "left")
+        base.join(prof, id_col, "left")
         .select(
             id_col,
             "n_tok",

@@ -373,3 +373,30 @@ def test_read_keys_point_lookup_prunes_buckets(spark, tmp_path):
         _os.path.realpath(p) for p in t.data_files(buckets=sorted(want))
     }
     assert {_os.path.realpath(p.replace("file:", "")) for p in touched} <= expect_files
+
+
+def test_first_cow_merge_metrics_without_touched_probe(spark, tmp_path):
+    """First CoW merge into a FRESH table takes the no-live-files fast
+    path (no distinct-collect job just to learn an empty prune list) —
+    and the Observation metrics must still arrive via the write action
+    itself. Regression net for the r6 fast path: in batch mode the
+    write fires the CollectMetrics event; the streaming micro-batch
+    path keeps the pre-write collect (a union over an observed frame
+    never fires its event under foreachBatch — see apply_changes)."""
+    t = mk_table(tmp_path, "fastpath")
+    res = apply_changes(
+        spark, t,
+        mk_events(spark, [ev("update", f"d{i}", i, [1]) for i in range(20)]),
+        batch_id=0, fence_stream_id="fp", strategy="cow", compact_every=0,
+    )
+    assert res.keys_applied == 20
+    assert res.max_seq_no == 19
+    assert state(spark, t)["d5"] == ([1], 1)
+    # second merge: live files exist -> pruning probe path, still correct
+    res2 = apply_changes(
+        spark, t,
+        mk_events(spark, [ev("update", "d5", 100, [1, 2])]),
+        batch_id=1, fence_stream_id="fp", strategy="cow", compact_every=0,
+    )
+    assert res2.keys_applied == 1
+    assert state(spark, t)["d5"] == ([1, 2], 2)

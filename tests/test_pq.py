@@ -211,7 +211,11 @@ def test_ivfpq_plans_jvm_side(spark):
     )
     plan = explain.physical_plan(ivfpq_topk(index, queries, k=3, n_probe=1))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast, codes streamed
+    # r6: the probe filter is an exploded (query, cell) equi-join — a
+    # broadcast HASH join on the codes' cell column (it was an
+    # array_contains BroadcastNestedLoopJoin before); codes still stream
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
 
 
 def test_ivfpq_refined_rerank_recall_floor(spark):
