@@ -89,12 +89,24 @@ def bpe_train(
     n_merges: int,
     tokens_col: str = "tokens",
     min_count: int = 2,
+    next_id: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """Learn a ranked merge table [(a, b, new_id), ...] from the training
-    frame. Stops early when no pair reaches min_count. New ids start at
-    max(observed token) + 1."""
+    frame. Stops early when no pair reaches min_count.
+
+    ``next_id``: first merge-token id. Default = max(observed token in
+    the TRAINING frame) + 1 — which is only collision-safe when the
+    training frame sees the corpus's maximum token id. The documented
+    workflow trains on a sample and encodes the FULL corpus: if the
+    sample misses the corpus max, a merge id would collide with a
+    genuine base token and the encoders silently corrupt sequences
+    (r5 ADVICE #2). When training on a sample, pass ``next_id`` = the
+    base vocabulary size (or max over the full corpus) + 1 explicitly."""
     cur = train_df.select(F.col(tokens_col).alias("tokens"))
-    next_id = (cur.agg(F.max(F.array_max("tokens"))).first()[0] or 0) + 1
+    if next_id is None:
+        next_id = (cur.agg(F.max(F.array_max("tokens"))).first()[0] or 0) + 1
+    else:
+        next_id = int(next_id)
     merges: list[tuple[int, int, int]] = []
     for _ in range(int(n_merges)):
         top = (

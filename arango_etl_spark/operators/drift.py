@@ -104,6 +104,10 @@ def token_distribution_drift(
     Groups whose rows carry only empty token arrays produce no output
     row (there is no distribution to compare).
     """
+    # NOTE (r6): a round-robin _spread of single-file inputs was A/B'd
+    # here and LOST (1.2 s -> 1.9 s at sf0.1): the pre-shuffle stage is
+    # a bare explode (cheap), the real work runs after the (group, tok)
+    # exchange anyway, so the extra shuffle is pure overhead.
     counts = (
         df.select(group_col, F.explode(tokens_col).alias("tok"))
         .groupBy(group_col, "tok")

@@ -21,8 +21,10 @@ it runs JVM-side at 100 TB and has an exact DuckDB oracle
 columns, a vectorized ``h3.latlng_to_cell`` pandas UDF instead of the
 grid arithmetic.
 
-DECISION RECORD REFRESH (round-5, 2026-08-17): install attempt re-made
-per the r4 verdict — ``import h3`` still fails, PyPI is unreachable
+DECISION RECORD REFRESH (round-6, 2026-08-21): install re-attempted at
+round start (`pip install h3` → no matching distribution; PyPI still
+unreachable) — unchanged. Prior refresh (round-5, 2026-08-17), attempt
+re-made per the r4 verdict — ``import h3`` still fails, PyPI is unreachable
 from the sandbox (DNS resolution fails for all external hosts; the
 environment also forbids pip/apt installs), so the true-H3 path stays
 behind its optional import and ``test_geo_h3_consistency`` stays a

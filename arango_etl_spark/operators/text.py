@@ -170,6 +170,10 @@ def repetition_signals(
     same codegen stage (contrast jaccard, where the recomputed work was
     a whole shuffle-feeding pipeline and sharing was the win).
     """
+    from arango_etl_spark.operators.dedup import _spread
+
+    docs = _spread(docs)  # split/explode is the CPU; single-file inputs
+    # would otherwise run it in ONE task (no-op at table scale)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
     )
@@ -227,6 +231,8 @@ def unigram_logprob(
     join is keyed on the token, where stopword-grade hot keys are
     exactly what AQE's skew-join split handles, and the 1-row total is
     a broadcast. Nothing leaves the JVM."""
+    # r6: _spread A/B'd here and LOST (0.62 s -> 0.78 s at sf0.1) — the
+    # hot work runs post-shuffle; see token_distribution_drift's note.
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -284,6 +290,8 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # r6: _spread A/B'd here and LOST (0.65 s -> 0.95 s at sf0.1) — the
+    # postings shuffle already parallelizes the scoring work.
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
     )

@@ -8,7 +8,7 @@ Run:  python scripts/check_oracles.py [/root/testdata/sf0.001]
 The registered-query count is printed per run (it tracks parity.py —
 do not hardcode it here). Round-5 record (2026-08-17, refreshed after
 the graph/BM25/JSON-shred/gap-fill/fan-out/sketch/video/token-span
-additions): all 112 queries match; 104 swept at sf0.01 via this script
+additions): all (then-registered) queries matched; 104 swept at sf0.01 via this script
 this round (97 pre-existing also swept at sf0.001 AND sf0.1), the 15
 newer ones (graph_khop, graph_shortest_paths, graph_triangles,
 graph_pagerank, bm25_search, json_shred_props, json_nested_extract,
@@ -21,6 +21,10 @@ sf0.01 green post-BPE-arrow; semantic_dedup_keep added (113th pair,
 checked pairwise at sf0.01 at add time: 500 rows, 350 kept, 0 cell or
 kept mismatches). 2026-08-18 later: ivfpq_topk_multi added (114th
 pair) and a FULL sweep of all 114 ran green at sf0.01.
+Round-6 record (2026-08-21, optimization round): full sweeps of all 114
+ran green at sf0.001 twice during the round (after the Python-boundary/
+plan-shape optimizations) — the count printed by the run is the source
+of truth, this note only records the dates.
 """
 
 from __future__ import annotations

@@ -2,12 +2,14 @@
 on the classpath; otherwise skipped (this image ships no Iceberg jar —
 SURVEY.md §7.0).
 
-DECISION RECORD (round-5, 2026-08-17): jar fetch re-attempted per the
-r4 verdict — no iceberg-spark-runtime jar anywhere on the filesystem,
-no ~/.ivy2 cache, and repo1.maven.org is unreachable (DNS resolution
-fails for all external hosts), so ``--packages`` cannot resolve. The
-adapter contract test remains jar-gated; the fallback-ordering and
-fence-landed-verification tests below run jar-free every session."""
+DECISION RECORD (round-6, 2026-08-21, re-confirmed): jar fetch
+re-attempted at round start per the r5 verdict — still no
+iceberg-spark-runtime jar anywhere on the filesystem, no ~/.ivy2 cache,
+and pip/maven hosts remain unreachable (offline sandbox), so
+``--packages`` cannot resolve. The adapter contract test remains
+jar-gated; the fallback-ordering and fence-landed-verification tests
+below run jar-free every session. (Round-5 record, 2026-08-17: same
+result.)"""
 
 from __future__ import annotations
 

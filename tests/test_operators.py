@@ -1163,3 +1163,48 @@ def test_semantic_dedup_no_python_udf_and_cell_join(spark, emb):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
     assert "cell" in plan
+
+
+def test_semantic_dedup_zero_norm_vector_is_inert(spark):
+    """A zero-norm embedding makes cosine 0/0 = NaN; Spark orders NaN
+    above every number, so an unguarded sim >= threshold would let one
+    failed embedding drop every larger-id member of its cell (r5 ADVICE
+    #1). Guarded: the zero vector never drops anyone and is never
+    dropped."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: must be inert
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),   # true duplicate of 2 -> dropped
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semantic_dedup(
+            df, n_cells=1, threshold=0.99
+        ).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_semantic_dedup_oversized_cell_fails_fast(spark):
+    """r5 VERDICT #1: an oversized cell must fail fast with an
+    actionable message instead of silently running a quadratic
+    within-cell self-join (the range_join max_bins_per_interval
+    pattern)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        similarity.semantic_dedup(
+            df, n_cells=1, threshold=0.99, max_cell_rows=10
+        ).collect()
+    # derived-K default: n_cells=None picks K from a cheap count
+    # (target_cell_rows) instead of a fixture-scale constant
+    out = similarity.semantic_dedup(
+        df, threshold=0.99, target_cell_rows=10
+    )
+    assert out.count() == 30
