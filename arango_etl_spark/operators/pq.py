@@ -300,17 +300,25 @@ def build_ivfpq_index(
 
     emb = _spread(emb)  # assign/residual/encode are the CPU; see
     # build_pq_index (no-op once input files >= parallelism)
+    # ONE TakeOrdered collect serves BOTH seed sets: coarse seeds are
+    # the kc smallest-(md5, id) rows, residual-codebook seeds the ksub
+    # smallest — the same ordering, so collect max(kc, ksub) rows once
+    # and derive the residual seeds driver-side in exact int arithmetic
+    # (identical argmin/tie-break as the Spark expression). This halves
+    # the build's distributed job count (r5 VERDICT #3's "trim the
+    # build" — the second TakeOrdered re-analyzed the full literal
+    # assignment plan just to fetch 16 rows).
     seeds = (
         emb.select(
             id_col, vec_col, _portable_hash60_str(F.col(id_col)).alias("_h")
         )
         .orderBy("_h", id_col)
-        .limit(kc)
+        .limit(max(kc, ksub))
         .collect()
     )
     if not seeds:
         raise ValueError("cannot build IVFPQ index from an empty table")
-    coarse = [[int(x) for x in r[vec_col]] for r in seeds]
+    coarse = [[int(x) for x in r[vec_col]] for r in seeds[:kc]]
     dim = len(coarse[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -362,19 +370,29 @@ def build_ivfpq_index(
     residuals = emb.select(F.col(id_col), F.col(vec_col), cell).select(
         id_col, "cell", resid
     )
-    res_seeds = (
-        residuals.select(
-            id_col, "_res", _portable_hash60_str(F.col(id_col)).alias("_h")
-        )
-        .orderBy("_h", id_col)
-        .limit(ksub)
-        .collect()
-    )
+    # residual-codebook seeds: the ksub smallest-(md5, id) rows — the
+    # SAME ordering the coarse seeds used, so they are a prefix of the
+    # one collected seed set; their cell (argmin int sqL2, ties to the
+    # lowest id — the _encode_expr tie-break exactly) and residual are
+    # pure int arithmetic over <= ksub collected rows, done driver-side
+    # instead of a second distributed TakeOrdered over the full
+    # assignment plan. Uses the REFINED coarse layer (loop above), as
+    # the distributed formulation did.
+    def _cell_of(v: list[int]) -> int:
+        best = None
+        for c, cen in enumerate(coarse):
+            d = sum((x - y) * (x - y) for x, y in zip(v, cen))
+            if best is None or (d, c) < best:
+                best = (d, c)
+        return best[1]
+
+    res_vecs = []
+    for r in seeds[:ksub]:
+        v = [int(x) for x in r[vec_col]]
+        cen = coarse[_cell_of(v)]
+        res_vecs.append([x - c for x, c in zip(v, cen)])
     codebooks = [
-        [
-            [int(x) for x in r["_res"][j * dsub : (j + 1) * dsub]]
-            for r in res_seeds
-        ]
+        [rv[j * dsub : (j + 1) * dsub] for rv in res_vecs]
         for j in range(m)
     ]
     # Lloyd refinement of the RESIDUAL codebooks (the actual PQ training
