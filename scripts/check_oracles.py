@@ -21,10 +21,10 @@ sf0.01 green post-BPE-arrow; semantic_dedup_keep added (113th pair,
 checked pairwise at sf0.01 at add time: 500 rows, 350 kept, 0 cell or
 kept mismatches). 2026-08-18 later: ivfpq_topk_multi added (114th
 pair) and a FULL sweep of all 114 ran green at sf0.01.
-Round-6 record (2026-08-21, optimization round): full sweeps of all 114
-ran green at sf0.001 twice during the round (after the Python-boundary/
-plan-shape optimizations) — the count printed by the run is the source
-of truth, this note only records the dates.
+Round-6 record (optimization round): full sweeps of all 114 ran green
+on the final tree at ALL THREE scales — sf0.001 (2026-08-21, twice),
+sf0.01 (2026-08-22) and sf0.1 (2026-08-22). The count printed by the
+run is the source of truth; this note only records the dates.
 """
 
 from __future__ import annotations
